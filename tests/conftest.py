@@ -1,0 +1,15 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so the multi-chip sharding paths
+(mesh, halo exchange, PDW merge) are exercised without TPU hardware.  These
+environment knobs must be set before JAX initializes its backends.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
