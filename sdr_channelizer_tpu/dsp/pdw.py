@@ -1,0 +1,309 @@
+"""Pulse-descriptor-word (PDW) extraction — vectorized, TPU-native.
+
+Reproduces the semantics of the reference's sequential edge-detector loops
+(wideband ``matlab/create_pdws.m:51-105``, channelized
+``create_pdws_channelized.m:79-136``, event-mode ``predict_event.m:70-123``,
+C++ twin ``usrp_predict_event.cpp:300-343``) without the sequential loop:
+
+* the pulse-active hysteresis latch (set when ``mag >= lead``, reset when
+  ``mag <= trail``, hold otherwise, trailing checked only while active) is
+  computed with a **parallel associative scan** over 2-bit boolean transfer
+  functions — the latch update is function composition over {set, reset,
+  hold, toggle}, which is associative;
+* per-pulse statistics (median magnitude, median wrapped phase difference,
+  saturation) are computed over fixed-width windows gathered at each pulse's
+  leading edge, masked to the true pulse extent — static shapes, vmapped
+  over pulses and channels.
+
+Numerical parity notes (deliberate reference quirks, kept):
+
+* TOA uses the MATLAB 1-based sample index: ``toa_time = (i0+1)/fs + t0``
+  where ``i0`` is the 0-based leading-edge index (``create_pdws.m:67``);
+* the trailing-edge sample (below threshold) IS included in the median
+  magnitude / phase-difference windows (``median(mag(toa:jj))``);
+* pulse width is ``(jj - toa)/fs`` — trailing minus leading index
+  (``create_pdws.m:79``);
+* phase differences in degrees, wrapped once into [-180, 180] with strict
+  inequalities (``create_pdws.m:84-85``: exactly +/-180 is NOT wrapped);
+* saturation (|I| or |Q| >= 0.9999) is only checked strictly inside the
+  pulse — not at the leading- or trailing-edge samples
+  (``create_pdws.m:100-102`` runs in the not-a-trailing-edge branch and the
+  leading-edge iteration resets the flag);
+* frequency: ``f = fc + fs * medPhaseDiff / 360`` (``create_pdws.m:91``,
+  algebraically identical to ``fc + fs/(360/med)``);
+* a pulse still active at the end of the capture is not emitted.
+
+The jitted core returns integer indices + float32 metrics; absolute times
+and absolute frequencies are finalized on the host in float64 (epoch seconds
+do not fit float32).  Fixed bugs NOT replicated: the reference channelized
+extractor's linear-indexing bug ``phase(toa:jj)`` that always reads bin 1
+(``create_pdws_channelized.m:114``) — we index the actual bin.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdr_channelizer_tpu.config import PdwConfig
+from sdr_channelizer_tpu.ops.medians import masked_median
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PdwBatch:
+    """Fixed-capacity batch of PDWs from one (block, channel).
+
+    Arrays have leading dimension ``max_pulses`` (plus any vmapped batch
+    dims).  Only the first ``count`` entries (``valid`` mask) are real.
+    """
+
+    toa_idx: jax.Array  # i32, 0-based leading-edge sample index
+    te_idx: jax.Array  # i32, 0-based trailing-edge sample index
+    pw_sec: jax.Array  # f32, (te - toa)/fs
+    mag: jax.Array  # f32, median |iq| over the pulse
+    snr_db: jax.Array  # f32, 10*log10(mag/noise_floor)
+    freq_offset_hz: jax.Array  # f32, fs*medPhaseDiff/360 (add fc on host)
+    saturated: jax.Array  # bool
+    valid: jax.Array  # bool
+    count: jax.Array  # i32 scalar, number of valid PDWs
+
+
+def hysteresis_scan(ge_lead: jax.Array, le_trail: jax.Array, axis: int = -1) -> jax.Array:
+    """Pulse-active state after each sample, via parallel associative scan.
+
+    Element transfer functions over the boolean latch state (f(0), f(1)):
+    ``(ge_lead, ~le_trail)`` — set/(reset)/hold/toggle.  Composition
+    ``f2 . f1`` is ``(f2(a1), f2(b1))``, which is associative; the scan
+    yields the prefix composition and the state is its value at 0 (latch
+    starts inactive, matching ``pulseActive = false``).
+    """
+
+    def compose(f1, f2):
+        a1, b1 = f1
+        a2, b2 = f2
+        return (jnp.where(a1, b2, a2), jnp.where(b1, b2, a2))
+
+    a, b = jax.lax.associative_scan(
+        compose, (ge_lead, jnp.logical_not(le_trail)), axis=axis
+    )
+    return a  # f_prefix(0)
+
+
+def _edge_indices(edge: jax.Array, max_pulses: int) -> jax.Array:
+    """Indices of True entries, padded with len(edge) (an out-of-range
+    sentinel) to ``max_pulses``."""
+    (idx,) = jnp.nonzero(edge, size=max_pulses, fill_value=edge.shape[0])
+    return idx.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("snr_threshold_db", "trailing_threshold_db",
+                              "saturation_level", "max_pulses", "max_pulse_samples")
+)
+def extract_pdws_core(
+    mag: jax.Array,
+    phase_deg: jax.Array,
+    sat_sample: jax.Array,
+    noise_floor: jax.Array,
+    *,
+    snr_threshold_db: float,
+    trailing_threshold_db: Optional[float],
+    saturation_level: float,  # unused here (sat_sample precomputed); kept for cfg symmetry
+    max_pulses: int,
+    max_pulse_samples: int,
+) -> PdwBatch:
+    """Extract PDWs from one channel's magnitude/phase streams.
+
+    mag, phase_deg, sat_sample: (T,).  noise_floor: scalar.
+    """
+    del saturation_level
+    t_len = mag.shape[-1]
+    w = max_pulse_samples
+
+    lead_thresh = noise_floor * 10.0 ** (snr_threshold_db / 10.0)
+    if trailing_threshold_db is None:
+        trail_thresh = lead_thresh
+    else:
+        trail_thresh = noise_floor * 10.0 ** (trailing_threshold_db / 10.0)
+
+    ge_lead = mag >= lead_thresh
+    le_trail = mag <= trail_thresh
+    state = hysteresis_scan(ge_lead, le_trail)
+    prev = jnp.concatenate([jnp.zeros((1,), bool), state[:-1]])
+    lead_edge = state & ~prev
+    trail_edge = ~state & prev  # fires at the first sample AFTER... see note
+
+    # NOTE: the latch state at sample jj already reflects sample jj's
+    # thresholds, so a trailing edge at sample jj (mag[jj] <= trail while
+    # previously active) shows as state[jj] = 0 with state[jj-1] = 1 —
+    # trail_edge[jj] is True exactly at the reference's `jj`.
+    toa_idx = _edge_indices(lead_edge, max_pulses)
+    te_idx = _edge_indices(trail_edge, max_pulses)
+    count = jnp.sum(trail_edge).astype(jnp.int32)
+    valid = jnp.arange(max_pulses) < count
+
+    # Pad streams so fixed windows can be gathered at any edge index.
+    mag_p = jnp.concatenate([mag, jnp.full((w,), jnp.inf, mag.dtype)])
+    dph = phase_deg[1:] - phase_deg[:-1]
+    dph = jnp.where(dph < -180.0, dph + 360.0, dph)
+    dph = jnp.where(dph > 180.0, dph - 360.0, dph)
+    dph_p = jnp.concatenate([dph, jnp.zeros((w + 1,), dph.dtype)])
+    sat_p = jnp.concatenate([sat_sample, jnp.zeros((w,), bool)])
+
+    pos = jnp.arange(w)
+
+    def per_pulse(i0, i1):
+        plen = jnp.minimum(i1 - i0 + 1, w)  # samples toa..jj inclusive
+        magwin = jax.lax.dynamic_slice_in_dim(mag_p, i0, w)
+        m_mask = pos < plen
+        med_mag = masked_median(magwin, m_mask)
+        # diff(phase(toa:jj)) = dph[toa .. jj-1], plen-1 entries
+        dwin = jax.lax.dynamic_slice_in_dim(dph_p, i0, w)
+        d_mask = pos < (plen - 1)
+        med_dph = masked_median(dwin, d_mask)
+        # saturation strictly inside the pulse: samples toa+1 .. jj-1
+        swin = jax.lax.dynamic_slice_in_dim(sat_p, i0, w)
+        s_mask = (pos >= 1) & (pos < (plen - 1))
+        sat = jnp.any(swin & s_mask)
+        return med_mag, med_dph, sat
+
+    i0c = jnp.clip(toa_idx, 0, t_len)
+    i1c = jnp.clip(te_idx, 0, t_len)
+    med_mag, med_dph, sat = jax.vmap(per_pulse)(i0c, i1c)
+
+    snr = 10.0 * jnp.log10(med_mag / noise_floor)
+    zero = jnp.zeros((), jnp.float32)
+    batch = PdwBatch(
+        toa_idx=jnp.where(valid, toa_idx, -1),
+        te_idx=jnp.where(valid, te_idx, -1),
+        pw_sec=jnp.where(valid, (te_idx - toa_idx).astype(jnp.float32), zero),
+        mag=jnp.where(valid, med_mag.astype(jnp.float32), zero),
+        snr_db=jnp.where(valid, snr.astype(jnp.float32), zero),
+        freq_offset_hz=jnp.where(valid, med_dph.astype(jnp.float32) / 360.0, zero),
+        saturated=jnp.where(valid, sat, False),
+        valid=valid,
+        count=count,
+    )
+    return batch
+
+
+def _prep_streams(iq: jax.Array, saturation_level: float):
+    mag = jnp.abs(iq)
+    phase_deg = jnp.rad2deg(jnp.angle(iq))
+    sat = (jnp.abs(iq.real) >= saturation_level) | (jnp.abs(iq.imag) >= saturation_level)
+    return mag, phase_deg, sat
+
+
+def extract_pdws(
+    iq: jax.Array,
+    cfg: PdwConfig,
+    noise_floor: Optional[jax.Array] = None,
+) -> PdwBatch:
+    """Wideband PDW extraction from a 1-D complex capture.
+
+    ``pw_sec`` / ``freq_offset_hz`` in the returned batch are in units of
+    samples and cycles-per-sample respectively; :func:`finalize_pdws` scales
+    them by the true ``fs`` on the host (keeps the jitted core
+    rate-agnostic).
+    """
+    mag, phase_deg, sat = _prep_streams(iq, cfg.saturation_level)
+    if noise_floor is None:
+        noise_floor = jnp.median(mag)
+    return extract_pdws_core(
+        mag,
+        phase_deg,
+        sat,
+        noise_floor,
+        snr_threshold_db=cfg.snr_threshold_db,
+        trailing_threshold_db=cfg.trailing_threshold_db,
+        saturation_level=cfg.saturation_level,
+        max_pulses=cfg.max_pulses,
+        max_pulse_samples=cfg.max_pulse_samples,
+    )
+
+
+def extract_pdws_channelized(
+    chan_iq: jax.Array,
+    cfg: PdwConfig,
+    noise_floor: Optional[jax.Array] = None,
+) -> PdwBatch:
+    """Per-channel PDW extraction from a channelized (T, M) matrix.
+
+    Noise floor is per channel (median over time, matching
+    ``create_pdws_channelized.m:73``); detection runs independently per
+    channel (vmapped).  Returned batch arrays have shape (M, max_pulses).
+    """
+    mag, phase_deg, sat = _prep_streams(chan_iq, cfg.saturation_level)
+    if noise_floor is None:
+        noise_floor = jnp.median(mag, axis=0)
+    core = functools.partial(
+        extract_pdws_core,
+        snr_threshold_db=cfg.snr_threshold_db,
+        trailing_threshold_db=cfg.trailing_threshold_db,
+        saturation_level=cfg.saturation_level,
+        max_pulses=cfg.max_pulses,
+        max_pulse_samples=cfg.max_pulse_samples,
+    )
+    return jax.vmap(core, in_axes=(1, 1, 1, 0))(mag, phase_deg, sat, noise_floor)
+
+
+def finalize_pdws(
+    batch: PdwBatch,
+    fs: float,
+    fc: float = 0.0,
+    sample_start_time: float = 0.0,
+    bin_offsets_hz: Optional[np.ndarray] = None,
+) -> dict:
+    """Convert a (possibly channelized) PdwBatch to host float64 PDW arrays.
+
+    Applies the MATLAB formulas exactly, in float64:
+    ``toa = (i0+1)/fs + sampleStartTime`` (1-based index parity,
+    ``create_pdws.m:67``), ``pw = (jj-toa)/fs``, ``freq = fc [+ bin] +
+    fs*medPhaseDiff/360``.  For channelized batches pass
+    ``bin_offsets_hz = center_frequencies(M, fs_original)`` and the
+    decimated ``fs``; each channel's PDWs get its bin offset
+    (``create_pdws_channelized.m:80,122``).
+
+    Returns a dict of 1-D numpy arrays sorted by TOA:
+    ``toa, freq, pw, mag, snr, sat, channel``.
+    """
+    toa_idx = np.asarray(batch.toa_idx, np.int64)
+    te_idx = np.asarray(batch.te_idx, np.int64)
+    valid = np.asarray(batch.valid, bool)
+    mag = np.asarray(batch.mag, np.float64)
+    snr = np.asarray(batch.snr_db, np.float64)
+    foff = np.asarray(batch.freq_offset_hz, np.float64)
+    sat = np.asarray(batch.saturated, bool)
+
+    if toa_idx.ndim == 1:
+        channel = np.zeros_like(toa_idx)
+        bin_off = np.zeros(1)
+    else:
+        m = toa_idx.shape[0]
+        channel = np.broadcast_to(np.arange(m)[:, None], toa_idx.shape)
+        bin_off = np.zeros(m) if bin_offsets_hz is None else np.asarray(bin_offsets_hz, np.float64)
+
+    sel = valid.ravel()
+    ch = channel.ravel()[sel]
+    i0 = toa_idx.ravel()[sel]
+    i1 = te_idx.ravel()[sel]
+    toa = (i0 + 1) / fs + sample_start_time
+    pw = (i1 - i0) / fs
+    freq = fc + bin_off[ch] + foff.ravel()[sel] * fs
+
+    order = np.argsort(toa, kind="stable")
+    return {
+        "toa": toa[order],
+        "freq": freq[order],
+        "pw": pw[order],
+        "mag": mag.ravel()[sel][order],
+        "snr": snr.ravel()[sel][order],
+        "sat": sat.ravel()[sel][order],
+        "channel": ch[order],
+    }

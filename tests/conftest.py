@@ -1,15 +1,24 @@
 """Test configuration.
 
 Tests run on CPU with 8 virtual devices so the multi-chip sharding paths
-(mesh, halo exchange, PDW merge) are exercised without TPU hardware.  These
-environment knobs must be set before JAX initializes its backends.
+(mesh, halo exchange, PDW merge) are exercised without TPU hardware.
+
+The ambient environment pins ``JAX_PLATFORMS=axon`` (the tunneled TPU, used
+by bench.py) and a sitecustomize hook imports jax at interpreter boot — so
+env-var edits here are too late for the platform choice; we go through
+``jax.config.update`` instead (backends have not initialized yet when
+conftest runs).  XLA_FLAGS is still read lazily at backend init, so the
+virtual device count can be set via the environment.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
