@@ -154,14 +154,16 @@ def _channelize_block(x_block, state, taps_rev, num_bands, shift):
     return y, new_state
 
 
-def _fir_dft(frames: jax.Array, history: jax.Array, taps_rev: jax.Array) -> jax.Array:
-    """Branch FIR over frames (with P-frame history prefix) + DFT channels.
+def _fir_branches(frames: jax.Array, history: jax.Array, taps_rev: jax.Array) -> jax.Array:
+    """Polyphase branch FIR over frames (with P-frame history prefix).
 
     frames: (..., T, M); history: (..., P, M) — the P frames preceding
     ``frames`` (only the last P-1 are used; keeping P makes state handling
-    uniform).  Returns (..., T, M) complex.
+    uniform).  Returns the branch outputs ``u`` of shape (..., T, M); the
+    channel outputs are the forward DFT of ``u`` along the last axis.
     """
     p, m = taps_rev.shape
+    del m
     t = frames.shape[-2]
     ctype = frames.dtype if jnp.issubdtype(frames.dtype, jnp.complexfloating) else jnp.complex64
     if p > 1:
@@ -173,4 +175,28 @@ def _fir_dft(frames: jax.Array, history: jax.Array, taps_rev: jax.Array) -> jax.
     u = jnp.zeros(frames.shape, ctype)
     for pp in range(p):
         u = u + taps[pp] * jax.lax.dynamic_slice_in_dim(padded, p - 1 - pp, t, axis=-2)
-    return jnp.fft.fft(u, axis=-1)
+    return u
+
+
+def _fir_dft(frames: jax.Array, history: jax.Array, taps_rev: jax.Array) -> jax.Array:
+    """Branch FIR + FFT channel extraction.  Returns (..., T, M) complex."""
+    return jnp.fft.fft(_fir_branches(frames, history, taps_rev), axis=-1)
+
+
+def dft_matrix(num_bands: int, shifted: bool = True, dtype=np.complex64) -> np.ndarray:
+    """Forward DFT matrix ``W[rho, k] = exp(-2j pi rho k / M)``.
+
+    With ``shifted=True`` the columns are reordered so ``u @ W`` equals
+    ``fftshift(fft(u), axes=-1)`` — channel ``i`` is the band at
+    :func:`center_frequencies` ``[i]``.  On TPU the DFT-as-matmul runs on the
+    MXU and, unlike the FFT, column-splits cleanly across a channel-sharded
+    mesh (``parallel/pipeline.py``); for the small per-hop transform sizes
+    here (M <= a few hundred) it is also simply faster than XLA's FFT.
+    """
+    m = int(num_bands)
+    rho = np.arange(m)[:, None]
+    k = np.arange(m)[None, :]
+    w = np.exp(-2j * np.pi * rho * k / m)
+    if shifted:
+        w = w[:, np.fft.fftshift(np.arange(m))]
+    return w.astype(dtype)

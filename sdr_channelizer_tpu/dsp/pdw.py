@@ -74,24 +74,40 @@ class PdwBatch:
     count: jax.Array  # i32 scalar, number of valid PDWs
 
 
-def hysteresis_scan(ge_lead: jax.Array, le_trail: jax.Array, axis: int = -1) -> jax.Array:
-    """Pulse-active state after each sample, via parallel associative scan.
+def compose_transfer(f1, f2):
+    """Compose boolean-latch transfer functions: apply ``f1`` then ``f2``.
+
+    A transfer function is the pair ``(f(0), f(1))``; composition is
+    ``(f2(a1), f2(b1))`` and is associative — the algebraic core of both the
+    in-block parallel scan and the cross-shard latch chaining
+    (``parallel/pipeline.py``).
+    """
+    a1, b1 = f1
+    a2, b2 = f2
+    return (jnp.where(a1, b2, a2), jnp.where(b1, b2, a2))
+
+
+def hysteresis_fns(ge_lead: jax.Array, le_trail: jax.Array, axis: int = -1):
+    """Prefix transfer functions ``(a, b)`` of the pulse-active latch.
 
     Element transfer functions over the boolean latch state (f(0), f(1)):
-    ``(ge_lead, ~le_trail)`` — set/(reset)/hold/toggle.  Composition
-    ``f2 . f1`` is ``(f2(a1), f2(b1))``, which is associative; the scan
-    yields the prefix composition and the state is its value at 0 (latch
-    starts inactive, matching ``pulseActive = false``).
+    ``(ge_lead, ~le_trail)`` — set/(reset)/hold/toggle.  The associative scan
+    yields at each position the composition of all transfer functions up to
+    and including it: ``a`` is the latch state had it started inactive, ``b``
+    had it started active.  Seeding with an arbitrary entry state is
+    ``jnp.where(entry, b, a)`` — this is what makes the latch exactly
+    shardable across time blocks.
     """
-
-    def compose(f1, f2):
-        a1, b1 = f1
-        a2, b2 = f2
-        return (jnp.where(a1, b2, a2), jnp.where(b1, b2, a2))
-
-    a, b = jax.lax.associative_scan(
-        compose, (ge_lead, jnp.logical_not(le_trail)), axis=axis
+    return jax.lax.associative_scan(
+        compose_transfer, (ge_lead, jnp.logical_not(le_trail)), axis=axis
     )
+
+
+def hysteresis_scan(ge_lead: jax.Array, le_trail: jax.Array, axis: int = -1) -> jax.Array:
+    """Pulse-active state after each sample (latch starts inactive, matching
+    the reference's ``pulseActive = false`` initialization,
+    ``create_pdws.m:51``)."""
+    a, _ = hysteresis_fns(ge_lead, le_trail, axis=axis)
     return a  # f_prefix(0)
 
 
@@ -147,6 +163,17 @@ def extract_pdws_core(
     te_idx = _edge_indices(trail_edge, max_pulses)
     count = jnp.sum(trail_edge).astype(jnp.int32)
     valid = jnp.arange(max_pulses) < count
+    return _emit_batch(
+        mag, phase_deg, sat_sample, noise_floor, toa_idx, te_idx, valid, count, w
+    )
+
+
+def _emit_batch(mag, phase_deg, sat_sample, noise_floor, toa_idx, te_idx, valid, count, w):
+    """Per-pulse statistics + batch assembly shared by the single-device and
+    block-sharded extractors.  ``w = max_pulse_samples``."""
+    t_len = mag.shape[-1]
+    max_pulses = toa_idx.shape[-1]
+    del max_pulses
 
     # Pad streams so fixed windows can be gathered at any edge index.
     mag_p = jnp.concatenate([mag, jnp.full((w,), jnp.inf, mag.dtype)])
@@ -179,7 +206,7 @@ def extract_pdws_core(
 
     snr = 10.0 * jnp.log10(med_mag / noise_floor)
     zero = jnp.zeros((), jnp.float32)
-    batch = PdwBatch(
+    return PdwBatch(
         toa_idx=jnp.where(valid, toa_idx, -1),
         te_idx=jnp.where(valid, te_idx, -1),
         pw_sec=jnp.where(valid, (te_idx - toa_idx).astype(jnp.float32), zero),
@@ -190,7 +217,94 @@ def extract_pdws_core(
         valid=valid,
         count=count,
     )
-    return batch
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("own_len", "snr_threshold_db", "trailing_threshold_db",
+                     "max_pulses", "max_pulse_samples"),
+)
+def extract_pdws_block_core(
+    mag: jax.Array,
+    phase_deg: jax.Array,
+    sat_sample: jax.Array,
+    noise_floor: jax.Array,
+    entry_active: jax.Array,
+    *,
+    own_len: int,
+    snr_threshold_db: float,
+    trailing_threshold_db: Optional[float],
+    max_pulses: int,
+    max_pulse_samples: int,
+) -> PdwBatch:
+    """PDW extraction for one time block of a sharded capture.
+
+    ``mag/phase_deg/sat_sample`` cover ``own_len`` owned samples plus a right
+    halo (the following shard's head, or +inf magnitude past capture end).
+    ``entry_active`` is the latch state entering the block (chained from the
+    previous shard via :func:`block_transfer` composition).  The block emits
+    exactly the pulses whose **leading edge** lies in its owned region; the
+    trailing edge and pulse statistics may extend into the halo.  With a halo
+    at least one sample longer than the longest pulse, concatenating all
+    blocks' PDWs (offset by the block start) reproduces the single-device
+    extractor bit-for-bit — including the reference rule that a pulse still
+    active at capture end is never emitted (the +inf pad keeps the latch set
+    so the final pulse stays unmatched).
+    """
+    w = max_pulse_samples
+    lead_thresh = noise_floor * 10.0 ** (snr_threshold_db / 10.0)
+    if trailing_threshold_db is None:
+        trail_thresh = lead_thresh
+    else:
+        trail_thresh = noise_floor * 10.0 ** (trailing_threshold_db / 10.0)
+
+    ge_lead = mag >= lead_thresh
+    le_trail = mag <= trail_thresh
+    a, b = hysteresis_fns(ge_lead, le_trail)
+    state = jnp.where(entry_active, b, a)
+    prev = jnp.concatenate([entry_active[None], state[:-1]])
+    lead_edge = state & ~prev
+    trail_edge = ~state & prev
+
+    t_total = mag.shape[-1]
+    pos_all = jnp.arange(t_total)
+    owned_lead = lead_edge & (pos_all < own_len)
+    toa_idx = _edge_indices(owned_lead, max_pulses)
+    # Latch events strictly alternate; when the block enters active, the
+    # first event is the previous shard's trailing edge — skip it.
+    trail_all = _edge_indices(trail_edge, max_pulses + 1)
+    skip = entry_active.astype(jnp.int32)
+    te_idx = trail_all[jnp.arange(max_pulses) + skip]
+
+    n_own = jnp.sum(owned_lead).astype(jnp.int32)
+    sentinel = jnp.int32(t_total)
+    matched = (jnp.arange(max_pulses) < n_own) & (te_idx < sentinel)
+    count = jnp.sum(matched).astype(jnp.int32)
+    return _emit_batch(
+        mag, phase_deg, sat_sample, noise_floor, toa_idx, te_idx, matched, count, w
+    )
+
+
+def block_transfer(
+    mag: jax.Array,
+    noise_floor: jax.Array,
+    snr_threshold_db: float,
+    trailing_threshold_db: Optional[float],
+):
+    """Whole-block latch transfer function ``(f(0), f(1))`` over ``mag``.
+
+    Composing these across shards (exclusive prefix with
+    :func:`compose_transfer`, identity ``(False, True)``) yields each block's
+    ``entry_active`` — the cross-shard chaining used by
+    ``parallel/pipeline.py``.
+    """
+    lead_thresh = noise_floor * 10.0 ** (snr_threshold_db / 10.0)
+    if trailing_threshold_db is None:
+        trail_thresh = lead_thresh
+    else:
+        trail_thresh = noise_floor * 10.0 ** (trailing_threshold_db / 10.0)
+    a, b = hysteresis_fns(mag >= lead_thresh, mag <= trail_thresh)
+    return a[..., -1], b[..., -1]
 
 
 def _prep_streams(iq: jax.Array, saturation_level: float):

@@ -1,0 +1,113 @@
+"""Flagship end-to-end pipelines (single-device; see ``parallel`` for the
+sharded variants).
+
+``ChannelizerPipeline`` compiles the reference's offline analysis chain
+(``matlab/convert_my_iq_to_mat.m`` -> ``create_pdws_channelized.m``) into one
+XLA program: dequantized capture in, channelized spectra + noise floors +
+pulse descriptor words out.  ``WidebandPdwPipeline`` is the un-channelized
+detector (``create_pdws.m``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdr_channelizer_tpu.config import ChannelizerConfig, PdwConfig
+from sdr_channelizer_tpu.dsp import pdw as pdwmod
+from sdr_channelizer_tpu.dsp.channelizer import Channelizer, channelize
+from sdr_channelizer_tpu.dsp.pdw import PdwBatch
+
+
+@dataclasses.dataclass
+class ChannelizerPipeline:
+    """Channelize -> per-band median noise floor -> PDW extraction.
+
+    One jittable step; reuse the instance so the compiled program is cached
+    per input length.
+    """
+
+    channelizer: Channelizer
+    pdw_cfg: PdwConfig
+
+    @classmethod
+    def create(
+        cls,
+        num_bands: int,
+        pdw_cfg: Optional[PdwConfig] = None,
+        **chan_kwargs,
+    ) -> "ChannelizerPipeline":
+        return cls(
+            channelizer=Channelizer.create(num_bands, **chan_kwargs),
+            pdw_cfg=pdw_cfg or PdwConfig.channelized(),
+        )
+
+    def forward(self, x: jax.Array) -> Tuple[jax.Array, jax.Array, PdwBatch]:
+        """The pure forward step (jit-compatible): capture -> (chan_iq,
+        noise_floor, PdwBatch)."""
+        y = channelize(x, self.channelizer)
+        nf = jnp.median(jnp.abs(y), axis=0)
+        batch = pdwmod.extract_pdws_channelized(y, self.pdw_cfg, noise_floor=nf)
+        return y, nf, batch
+
+    def __post_init__(self):
+        self._jit_forward = jax.jit(self.forward)
+
+    def step(self, x: jax.Array) -> Tuple[jax.Array, jax.Array, PdwBatch]:
+        return self._jit_forward(x)
+
+    def extract(
+        self,
+        x: jax.Array,
+        fs: float,
+        fc: float = 0.0,
+        sample_start_time: float = 0.0,
+    ) -> dict:
+        """Capture -> host PDW dict (absolute TOAs in epoch seconds, absolute
+        frequencies with per-bin offsets)."""
+        _, _, batch = self.step(x)
+        m = self.channelizer.num_bands
+        return pdwmod.finalize_pdws(
+            batch,
+            fs=fs / m,
+            fc=fc,
+            sample_start_time=sample_start_time,
+            bin_offsets_hz=self.channelizer.center_frequencies(fs),
+        )
+
+
+@dataclasses.dataclass
+class WidebandPdwPipeline:
+    """Full-rate PDW extraction, no channelizer (``create_pdws.m``): noise
+    floor = median magnitude of the whole capture, 18 dB leading / 3 dB
+    trailing hysteresis by default."""
+
+    pdw_cfg: PdwConfig = dataclasses.field(default_factory=PdwConfig.wideband)
+
+    def __post_init__(self):
+        self._jit_forward = jax.jit(self.forward)
+
+    def forward(self, x: jax.Array) -> Tuple[jax.Array, PdwBatch]:
+        mag = jnp.abs(x)
+        nf = jnp.median(mag)
+        batch = pdwmod.extract_pdws(x, self.pdw_cfg, noise_floor=nf)
+        return nf, batch
+
+    def step(self, x: jax.Array) -> Tuple[jax.Array, PdwBatch]:
+        return self._jit_forward(x)
+
+    def extract(
+        self,
+        x: jax.Array,
+        fs: float,
+        fc: float = 0.0,
+        sample_start_time: float = 0.0,
+    ) -> dict:
+        _, batch = self.step(x)
+        return pdwmod.finalize_pdws(
+            batch, fs=fs, fc=fc, sample_start_time=sample_start_time
+        )

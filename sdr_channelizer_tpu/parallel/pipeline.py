@@ -1,0 +1,291 @@
+"""Sharded channelize -> PDW pipeline over a (time x chan) mesh.
+
+The reference processes captures single-device (MATLAB loops,
+``create_pdws_channelized.m:79-136``); this module is the TPU-native
+scale-out path.  Design:
+
+* **Time sharding (sequence-parallel analog).**  The sample axis splits into
+  contiguous blocks, one per mesh row.  The polyphase FIR needs the previous
+  ``P-1`` frames of history (prototype length ``M*P`` taps,
+  ``create_pdws_channelized.m:31-33``) — each shard ``ppermute``s its tail
+  frames to its right neighbor over ICI (overlap-save), so block outputs
+  concatenate to exactly the unsharded channelizer output (zero initial
+  state, matching MATLAB System-object semantics).
+
+* **Channel sharding (tensor-parallel analog).**  Channel extraction is a
+  DFT matmul ``u @ W``; each mesh column owns a column slice of ``W`` (its
+  bands) and all downstream PDW work for them.  With one mesh column the FFT
+  path is used and output is bit-identical to the single-device reference
+  implementation.
+
+* **Exact PDW stitching.**  The detector's pulse-active hysteresis latch is
+  a composition of per-sample boolean transfer functions
+  (``dsp/pdw.py:hysteresis_fns``).  Each shard computes its block's total
+  transfer function, an ``all_gather`` + exclusive prefix composition yields
+  every block's entry state, and each shard re-evaluates its local scan
+  seeded with that state.  A pulse is emitted by the shard owning its
+  leading edge; its trailing edge and statistics may extend into a right
+  halo (the next shard's head samples, fetched with ``ppermute``).  The last
+  shard's halo is +inf magnitude so a pulse still active at capture end is
+  never emitted — the reference rule.  Result: sharded PDWs == unsharded
+  PDWs, bit-for-bit, as long as the halo exceeds the longest pulse.
+
+* **Noise floor.**  The reference uses the median magnitude over the whole
+  capture per bin (``create_pdws_channelized.m:73``) — a global reduction;
+  it is computed between the two shard_map stages with a plain
+  ``jnp.median`` over the sharded array and XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from sdr_channelizer_tpu.config import PdwConfig
+from sdr_channelizer_tpu.dsp import channelizer as chmod
+from sdr_channelizer_tpu.dsp import pdw as pdwmod
+from sdr_channelizer_tpu.dsp.pdw import PdwBatch
+from sdr_channelizer_tpu.parallel.mesh import CHAN_AXIS, TIME_AXIS
+
+
+def _fwd_perm(n: int):
+    """ppermute pairs sending each shard's data to its right neighbor."""
+    return [(j, j + 1) for j in range(n - 1)]
+
+
+def _bwd_perm(n: int):
+    """ppermute pairs sending each shard's data to its left neighbor."""
+    return [(j + 1, j) for j in range(n - 1)]
+
+
+def _build_channelize_local(chan, n_time: int, n_chan: int, t_loc: int):
+    taps_np = chan.taps_rev  # (P, M) float32
+    m = chan.num_bands
+    if m % n_chan:
+        raise ValueError(f"num_bands {m} not divisible by chan mesh axis {n_chan}")
+    m_loc = m // n_chan
+    wmat_np = chmod.dft_matrix(m, shifted=True)
+
+    def local(x_loc: jax.Array) -> jax.Array:
+        frames = x_loc.reshape(t_loc, m)
+        taps = jnp.asarray(taps_np)
+        p = taps.shape[0]
+        if p > 1:
+            tail = frames[-(p - 1):]
+            hist = jax.lax.ppermute(tail, TIME_AXIS, _fwd_perm(n_time))
+            hist = jnp.concatenate([jnp.zeros((1, m), frames.dtype), hist])
+        else:
+            hist = jnp.zeros((1, m), frames.dtype)
+        u = chmod._fir_branches(frames, hist, taps)
+        if n_chan == 1:
+            # FFT path: bit-identical to the single-device reference impl.
+            return jnp.fft.fftshift(jnp.fft.fft(u, axis=-1), axes=-1)
+        c_i = jax.lax.axis_index(CHAN_AXIS)
+        w_loc = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(wmat_np), c_i * m_loc, m_loc, axis=1
+        )
+        return u @ w_loc
+
+    return local
+
+
+def _build_pdw_local(cfg: PdwConfig, n_time: int, t_loc: int, halo: int, m_loc: int):
+    core = functools.partial(
+        pdwmod.extract_pdws_block_core,
+        own_len=t_loc,
+        snr_threshold_db=cfg.snr_threshold_db,
+        trailing_threshold_db=cfg.trailing_threshold_db,
+        max_pulses=cfg.max_pulses,
+        max_pulse_samples=cfg.max_pulse_samples,
+    )
+
+    def local(y_loc: jax.Array, nf_loc: jax.Array) -> PdwBatch:
+        mag, ph, sat = pdwmod._prep_streams(y_loc, cfg.saturation_level)
+        t_i = jax.lax.axis_index(TIME_AXIS)
+
+        # Right halo: the next shard's first `halo` frames.  The last shard
+        # (nothing to receive -> ppermute zeros) gets +inf magnitude so the
+        # latch can never see a trailing edge past capture end.
+        hm = jax.lax.ppermute(mag[:halo], TIME_AXIS, _bwd_perm(n_time))
+        hp = jax.lax.ppermute(ph[:halo], TIME_AXIS, _bwd_perm(n_time))
+        hs = jax.lax.ppermute(sat[:halo], TIME_AXIS, _bwd_perm(n_time))
+        hm = jnp.where(t_i == n_time - 1, jnp.inf, hm)
+        mag_e = jnp.concatenate([mag, hm], axis=0)
+        ph_e = jnp.concatenate([ph, hp], axis=0)
+        sat_e = jnp.concatenate([sat, hs], axis=0)
+
+        # Cross-shard latch chaining: block transfer fns -> all_gather ->
+        # exclusive prefix composition -> this block's entry state.
+        a_blk, b_blk = pdwmod.block_transfer(
+            mag.T, nf_loc[:, None],
+            cfg.snr_threshold_db, cfg.trailing_threshold_db,
+        )  # each (m_loc,)
+        ag_a = jax.lax.all_gather(a_blk, TIME_AXIS)  # (n_time, m_loc)
+        ag_b = jax.lax.all_gather(b_blk, TIME_AXIS)
+        pa, _ = jax.lax.associative_scan(
+            pdwmod.compose_transfer, (ag_a, ag_b), axis=0
+        )
+        prev = jnp.take(pa, jnp.maximum(t_i - 1, 0), axis=0)
+        entry = jnp.where(t_i == 0, jnp.zeros((m_loc,), bool), prev)
+
+        batch = jax.vmap(core, in_axes=(1, 1, 1, 0, 0))(
+            mag_e, ph_e, sat_e, nf_loc, entry
+        )
+        # Leading (1, ...) axis so out_specs can stack blocks along time.
+        return jax.tree.map(lambda v: v[None], batch)
+
+    return local
+
+
+@dataclasses.dataclass
+class ShardedPipeline:
+    """Jitted channelize -> noise-floor -> PDW step over a (time, chan) mesh.
+
+    ``halo_frames`` (decimated frames read past each block's right edge)
+    must exceed the longest pulse for exact boundary stitching; defaults to
+    ``pdw_cfg.max_pulse_samples`` and is capped at the block length.
+    """
+
+    mesh: jax.sharding.Mesh
+    channelizer: "chmod.Channelizer"
+    pdw_cfg: PdwConfig
+    halo_frames: Optional[int] = None
+
+    def __post_init__(self):
+        self._cache = {}
+
+    @property
+    def n_time(self) -> int:
+        return self.mesh.shape[TIME_AXIS]
+
+    @property
+    def n_chan(self) -> int:
+        return self.mesh.shape[CHAN_AXIS]
+
+    def _build(self, n_samples: int):
+        n_time, n_chan = self.n_time, self.n_chan
+        m = self.channelizer.num_bands
+        if n_samples % (n_time * m):
+            raise ValueError(
+                f"capture length {n_samples} must divide into "
+                f"{n_time} time shards of whole {m}-sample frames"
+            )
+        t_loc = n_samples // (n_time * m)
+        halo = self.halo_frames or self.pdw_cfg.max_pulse_samples
+        halo = min(halo, t_loc)
+        m_loc = m // n_chan
+
+        chan_local = _build_channelize_local(self.channelizer, n_time, n_chan, t_loc)
+        pdw_local = _build_pdw_local(self.pdw_cfg, n_time, t_loc, halo, m_loc)
+        batch_specs = PdwBatch(
+            **{f.name: P(TIME_AXIS, CHAN_AXIS) for f in dataclasses.fields(PdwBatch)}
+        )
+
+        @jax.jit
+        def step(x) -> Tuple[jax.Array, jax.Array, PdwBatch]:
+            y = jax.shard_map(
+                chan_local, mesh=self.mesh,
+                in_specs=P(TIME_AXIS), out_specs=P(TIME_AXIS, CHAN_AXIS),
+                check_vma=False,
+            )(x)
+            nf = jnp.median(jnp.abs(y), axis=0)  # global per-band median
+            batch = jax.shard_map(
+                pdw_local, mesh=self.mesh,
+                in_specs=(P(TIME_AXIS, CHAN_AXIS), P(CHAN_AXIS)),
+                out_specs=batch_specs,
+                check_vma=False,
+            )(y, nf)
+            return y, nf, batch
+
+        return step, t_loc
+
+    def step(self, x: jax.Array):
+        """Run the sharded pipeline.  Returns (chan_iq, noise_floor, batch)
+        with ``batch`` arrays stacked ``(n_time, M, max_pulses)``."""
+        n = int(np.shape(x)[-1])
+        if n not in self._cache:
+            self._cache[n] = self._build(n)
+        fn, _ = self._cache[n]
+        return fn(x)
+
+    def extract(
+        self,
+        x: jax.Array,
+        fs: float,
+        fc: float = 0.0,
+        sample_start_time: float = 0.0,
+    ) -> dict:
+        """Full capture -> host PDW dict (decimated-rate TOAs/PWs, absolute
+        frequencies), matching ``create_pdws_channelized.m`` semantics."""
+        n = int(np.shape(x)[-1])
+        if n not in self._cache:
+            self._cache[n] = self._build(n)
+        fn, t_loc = self._cache[n]
+        _, _, batch = fn(x)
+        merged = merge_block_batches(batch, t_loc)
+        m = self.channelizer.num_bands
+        return pdwmod.finalize_pdws(
+            merged,
+            fs=fs / m,
+            fc=fc,
+            sample_start_time=sample_start_time,
+            bin_offsets_hz=self.channelizer.center_frequencies(fs),
+        )
+
+
+def merge_block_batches(batch: PdwBatch, block_len_frames: int) -> PdwBatch:
+    """Merge a block-stacked ``(n_time, M, max_pulses)`` batch into a
+    per-channel ``(M, n_time*max_pulses)`` batch with capture-global sample
+    indices (host-side numpy)."""
+    f = lambda v: np.asarray(v)
+    toa, te, valid = f(batch.toa_idx), f(batch.te_idx), f(batch.valid)
+    nt = toa.shape[0]
+    off = (np.arange(nt, dtype=np.int64) * block_len_frames)[:, None, None]
+    tr = lambda v: np.moveaxis(v, 0, 1).reshape(v.shape[1], -1)
+    return PdwBatch(
+        toa_idx=tr(np.where(valid, toa + off, -1)),
+        te_idx=tr(np.where(valid, te + off, -1)),
+        pw_sec=tr(f(batch.pw_sec)),
+        mag=tr(f(batch.mag)),
+        snr_db=tr(f(batch.snr_db)),
+        freq_offset_hz=tr(f(batch.freq_offset_hz)),
+        saturated=tr(f(batch.saturated)),
+        valid=tr(valid),
+        count=f(batch.count).sum(axis=0),
+    )
+
+
+def sharded_channelize(
+    x: jax.Array,
+    chan: "chmod.Channelizer",
+    mesh: jax.sharding.Mesh,
+) -> jax.Array:
+    """Standalone time/channel-sharded channelizer (exact overlap-save).
+
+    Output equals ``dsp.channelizer.channelize(x, chan)`` — bit-for-bit with
+    one mesh column, within DFT-vs-FFT rounding otherwise.
+    """
+    n_time = mesh.shape[TIME_AXIS]
+    n_chan = mesh.shape[CHAN_AXIS]
+    m = chan.num_bands
+    n = int(np.shape(x)[-1])
+    n_frames = n // m
+    if n_frames % n_time:
+        raise ValueError(f"{n_frames} frames not divisible by {n_time} time shards")
+    x = x[..., : n_frames * m]
+    t_loc = n_frames // n_time
+    local = _build_channelize_local(chan, n_time, n_chan, t_loc)
+    fn = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=P(TIME_AXIS), out_specs=P(TIME_AXIS, CHAN_AXIS),
+            check_vma=False,
+        )
+    )
+    return fn(x)

@@ -5,6 +5,7 @@
 from sdr_channelizer_tpu.signal.synth import (  # noqa: F401
     PulseTrainSpec,
     pulse_train,
+    pulse_starts,
     random_pulse_train_spec,
     write_training_iq,
     barker13_phase,
