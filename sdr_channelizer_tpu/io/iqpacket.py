@@ -265,6 +265,26 @@ def write_iq(path: Union[str, os.PathLike, BinaryIO], hdr: IqHeader, samples: np
             f.write(blob)
 
 
+def utc_filename(epoch_sec: float) -> str:
+    """UTC millisecond-precision capture filename.
+
+    ``"%04d_%02d_%02d_%02d_%02d_%02d_%03d.iq"`` of the UTC decomposition of
+    ``epoch_sec`` (``cpp/Helper.cpp:6-23``; ``FILENAME_LENGTH 80`` bound,
+    ``Helper.h:7``).  The native twin is ``iq_filename_utc`` in
+    ``native/helper.cc``.
+    """
+    import math
+    import time as _time
+
+    secs = math.floor(epoch_sec)
+    millis = int((epoch_sec - secs) * 1e3)
+    t = _time.gmtime(secs)
+    return (
+        f"{t.tm_year:04d}_{t.tm_mon:02d}_{t.tm_mday:02d}_"
+        f"{t.tm_hour:02d}_{t.tm_min:02d}_{t.tm_sec:02d}_{millis:03d}.iq"
+    )
+
+
 def to_complex(samples: np.ndarray, bit_width: int, dtype=np.complex64) -> np.ndarray:
     """Normalize integer I/Q to complex in [-1, 1).
 

@@ -1,0 +1,119 @@
+"""Capture tier tests: emulated radio physics, gain search convergence, and
+the closed-loop event tracker recovering the emitter's scan period."""
+
+import numpy as np
+import pytest
+
+from sdr_channelizer_tpu.capture import (
+    EmulatedRadio,
+    EventTracker,
+    find_max_unsaturated_gain,
+)
+from sdr_channelizer_tpu.config import GainSearchConfig
+
+
+def test_radio_quantization_and_duty():
+    r = EmulatedRadio(sample_rate_sps=2e6, tone_offset_hz=0.25e6,
+                      pulse_width_sec=200e-6, pri_sec=1e-3,
+                      gain_db=60.0, noise_db=-80.0)
+    iq, t0 = r.receive(20000)
+    assert t0 == 0.0
+    mag = np.abs(iq)
+    on = mag > 0.5
+    assert 0.15 < on.mean() < 0.25
+    # gain at reference -> amplitude ~1.0, int-quantized
+    assert 0.95 < mag.max() <= np.sqrt(2)
+
+
+def test_radio_timed_dwell_fast_forward():
+    r = EmulatedRadio(sample_rate_sps=1e6, start_epoch=100.0)
+    _, t0 = r.receive(1000)
+    assert t0 == 100.0
+    _, t1 = r.receive(1000, start_time=100.5)
+    assert abs(t1 - 100.5) < 1e-9
+    # requesting a past time just continues the stream
+    _, t2 = r.receive(1000, start_time=100.0)
+    assert t2 >= 100.5
+
+
+def test_gain_search_converges_to_max_unsaturated():
+    r = EmulatedRadio(sample_rate_sps=1e6, pulse_width_sec=100e-6,
+                      pri_sec=500e-6, gain_db=66.0, noise_db=-300.0)
+    final, history = find_max_unsaturated_gain(r, dwell_samples=2000,
+                                               num_dwells=20)
+    # amplitude 10^((g-60)/20); unsaturated needs < 0.98 -> g <= 59
+    assert final == 59.0
+    sats = [s for _, s in history]
+    assert sats[:7] == [True] * 7 and not any(sats[7:])
+
+
+def test_gain_search_no_signal_keeps_gain():
+    r = EmulatedRadio(rel_amplitude=0.0, noise_db=-60.0, gain_db=40.0,
+                      sample_rate_sps=1e6)
+    final, history = find_max_unsaturated_gain(r, 1000, 5)
+    assert final == 40.0 and not any(s for _, s in history)
+
+
+@pytest.fixture(scope="module")
+def tracked():
+    """Run the closed loop against a scanning-beam emitter."""
+    # The mean-magnitude noise floor (usrp_predict_event.cpp:288) only
+    # leaves 20 dB of headroom when pulses are sparse: duty cycle must be
+    # well under 1% or the pulses' own energy raises the floor past the
+    # threshold.  0.2% duty here (10 us / 5 ms).
+    period = 0.5
+    r = EmulatedRadio(
+        sample_rate_sps=1e6,
+        tone_offset_hz=0.1e6,
+        pulse_width_sec=10e-6,
+        pri_sec=5e-3,
+        gain_db=60.0,
+        rel_amplitude=0.9,
+        noise_db=-55.0,
+        scan_period_sec=period,
+        scan_phase_sec=0.1,
+        scan_curvature_db_per_s2=2000.0,  # ~20 dB down at 100 ms off-peak
+    )
+    tr = EventTracker(radio=r, dwell_sec=0.08)
+    reports = tr.run(60)
+    return period, tr, reports
+
+
+def test_tracker_recovers_scan_period(tracked):
+    period, tr, reports = tracked
+    assert len(tr.events) > 6
+    ev = np.asarray(tr.events)
+    # events land near k*period + 0.1 (allow a few ms: parabola fit on
+    # noisy quantized SNRs)
+    err = np.abs(((ev - 0.1 + period / 2) % period) - period / 2)
+    assert np.median(err) < 0.02, ev
+    # PRI estimate ~ one scan period (dwells that span a peak each yield an
+    # event; consecutive distinct events differ by ~period)
+    assert tr.next_event_time is not None
+
+
+def test_tracker_schedules_dwell_at_predicted_peak(tracked):
+    period, tr, reports = tracked
+    scheduled = [rep for rep in reports if rep.next_event_time is not None]
+    assert scheduled
+    # once predicting, the next dwell starts at next_event - dwell/2
+    for prev, cur in zip(reports, reports[1:]):
+        if prev.next_event_time is not None:
+            want = prev.next_event_time - tr.dwell_sec / 2
+            if want >= cur.start_time - 1e-9:  # not already past
+                assert abs(cur.start_time - want) < 1e-6
+                break
+
+
+def test_tracker_gain_feedback():
+    # Note the 12-bit quantizer's asymmetric rails: +2047/2048 = 0.99951
+    # never trips the 0.9999 test; only the -1.0 rail does — so the tone
+    # must actually swing negative (not alias to DC).
+    r = EmulatedRadio(sample_rate_sps=1e6, tone_offset_hz=0.13e6,
+                      pulse_width_sec=100e-6,
+                      pri_sec=1e-3, gain_db=66.0, noise_db=-300.0)
+    tr = EventTracker(radio=r, dwell_sec=0.01)
+    reports = tr.run(10)
+    assert reports[0].saturated
+    assert r.gain_db <= 59.0  # walked down out of saturation
+    assert not reports[-1].saturated
