@@ -1,0 +1,429 @@
+"""CLI entry point — one subcommand per reference workflow."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _out_path(in_path: str, out_dir: Optional[str], new_ext: str) -> str:
+    base = os.path.basename(in_path)
+    stem = base.rsplit(".", 1)[0]
+    d = out_dir or os.path.dirname(in_path) or "."
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, stem + new_ext)
+
+
+def cmd_generate(args) -> int:
+    """generate_training_iq.m parity: random (or explicit) pulse trains
+    written as v1 .iq with the ground truth encoded in the filename
+    (``generate_training_iq.m:107``)."""
+    from sdr_channelizer_tpu.signal import synth
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    for k in range(args.count):
+        if args.freq_mhz is None:
+            spec = synth.random_pulse_train_spec(
+                args.seed + k, sample_rate_sps=args.fs_msps * 1e6,
+                duration_sec=args.duration_sec,
+            )
+        else:
+            spec = synth.PulseTrainSpec(
+                sample_rate_sps=args.fs_msps * 1e6,
+                duration_sec=args.duration_sec,
+                frequency_hz=args.freq_mhz * 1e6,
+                pulse_width_sec=args.pw_us * 1e-6,
+                pri_sec=args.pri_us * 1e-6,
+                noise_std=args.noise_std,
+            )
+        name = (f"{spec.frequency_hz/1e6:.1f}_MHz_{spec.pulse_width_sec*1e6:.1f}"
+                f"_us_{spec.pri_sec*1e6:.1f}_us.iq")
+        path = os.path.join(args.out_dir, name)
+        synth.write_training_iq(path, spec, seed=args.seed + k)
+        print(path)
+    return 0
+
+
+def cmd_record(args) -> int:
+    """The recorders' 7-arg contract against the emulator (native binary if
+    built, else the in-process radio)."""
+    from sdr_channelizer_tpu.capture.emulator import EmulatedRadio, NativeEmulator
+    from sdr_channelizer_tpu.config import CaptureConfig
+    from sdr_channelizer_tpu.io import iqpacket
+
+    cfg = CaptureConfig(
+        frequency_mhz=args.freq_mhz, bandwidth_mhz=args.bw_mhz,
+        sample_rate_msps=args.rate_msps, rx_gain_db=args.gain_db,
+        dwell_sec=args.dwell_sec, duration_sec=args.duration_sec,
+        filter_delay_samples=args.filter_delay, bit_width=args.bit_width,
+    )
+    os.makedirs(args.out_dir, exist_ok=True)
+    native = NativeEmulator()
+    if native.available() and not args.python_emulator:
+        files = native.record(cfg, args.out_dir, offset_mhz=args.offset_mhz,
+                              pw_us=args.pw_us, pri_us=args.pri_us,
+                              noise_db=args.noise_db)
+        for f in files:
+            print(f)
+        return 0
+    import time
+
+    radio = EmulatedRadio(
+        sample_rate_sps=cfg.sample_rate_sps, tone_offset_hz=args.offset_mhz * 1e6,
+        pulse_width_sec=args.pw_us * 1e-6, pri_sec=args.pri_us * 1e-6,
+        noise_db=args.noise_db, gain_db=cfg.rx_gain_db,
+        bit_width=cfg.bit_width, start_epoch=time.time(),
+    )
+    n_dwells = int(cfg.duration_sec / cfg.dwell_sec)
+    for _ in range(n_dwells):
+        iq, t0 = radio.receive(cfg.dwell_samples + cfg.filter_delay_samples)
+        iq = iq[cfg.filter_delay_samples:]
+        t0 += cfg.filter_delay_samples / cfg.sample_rate_sps
+        samples = iqpacket.from_complex(iq, cfg.bit_width)
+        hdr = iqpacket.IqHeader(
+            frequency_hz=cfg.frequency_mhz * 1e6, bandwidth_hz=cfg.bandwidth_mhz * 1e6,
+            sample_rate_sps=cfg.sample_rate_sps, rx_gain_db=cfg.rx_gain_db,
+            num_samples=len(iq), bit_width=cfg.bit_width, sample_start_time=t0,
+            board_name="emulated-py", serial_number="emu0",
+        )
+        path = os.path.join(args.out_dir, iqpacket.utc_filename(t0))
+        iqpacket.write_iq(path, hdr, samples)
+        print(path)
+    return 0
+
+
+def cmd_gain_search(args) -> int:
+    from sdr_channelizer_tpu.capture import EmulatedRadio, find_max_unsaturated_gain
+
+    radio = EmulatedRadio(
+        sample_rate_sps=args.rate_msps * 1e6, tone_offset_hz=args.offset_mhz * 1e6,
+        gain_db=args.gain_db, rel_amplitude=args.amplitude, noise_db=args.noise_db,
+    )
+    dwell_n = int(args.dwell_sec * radio.sample_rate_sps)
+    n = int(args.duration_sec / args.dwell_sec)
+    final, history = find_max_unsaturated_gain(radio, dwell_n, n)
+    for gain, sat in history:
+        print(f"gain {gain:5.1f} dB  {'SATURATED' if sat else 'ok'}")
+    print(f"Max unsaturated gain: {final:.1f} dB")
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from sdr_channelizer_tpu.io import convert
+
+    for path in args.files:
+        if path.endswith(".bin"):
+            iq, fs, fc, idx = convert.read_legacy_bin(path)
+            out = _out_path(path, args.out_dir, ".npz")
+            np.savez(out, iq=iq, fs=fs, fc=fc, index=idx)
+        elif args.mat:
+            out = _out_path(path, args.out_dir, ".mat")
+            convert.iq_to_mat(path, out, normalize=not args.raw)
+        else:
+            out = _out_path(path, args.out_dir, ".npz")
+            convert.iq_to_npz(path, out, normalize=not args.raw)
+        print(out)
+    return 0
+
+
+def _bands_for(args, fs: float) -> int:
+    from sdr_channelizer_tpu.config import bands_for_bin_width
+
+    if args.bands:
+        return args.bands
+    return bands_for_bin_width(fs, args.bin_width_hz)
+
+
+def cmd_channelize(args) -> int:
+    """channelizer_example.m parity: channelize and render the waterfall."""
+    import jax.numpy as jnp
+
+    from sdr_channelizer_tpu.dsp.channelizer import Channelizer, channelize
+    from sdr_channelizer_tpu.io.convert import load_capture
+
+    for path in args.files:
+        iq, meta = load_capture(path)
+        fs = float(meta["fs"])
+        m = _bands_for(args, fs)
+        chan = Channelizer.create(m, taps_per_band=args.taps_per_band)
+        n = len(iq) // m * m
+        y = np.asarray(channelize(jnp.asarray(iq[:n]), chan))
+        if args.out or len(args.files) == 1:
+            out = args.out or _out_path(path, args.out_dir, "_chan.npz")
+            np.savez(out, chan_iq=y, fs=fs / m,
+                     center_frequencies=chan.center_frequencies(fs) + meta.get("fc", 0.0),
+                     sample_start_time=meta.get("sampleStartTime", 0.0))
+            print(out)
+        if args.png:
+            from sdr_channelizer_tpu.viz import waterfall_png
+
+            png = args.png if args.png != "auto" else _out_path(path, args.out_dir, "_waterfall.png")
+            waterfall_png(png, np.abs(y), fs, meta.get("fc", 0.0),
+                          title=os.path.basename(path))
+            print(png)
+    return 0
+
+
+def cmd_pdw(args) -> int:
+    """create_pdws.m / create_pdws_channelized.m parity."""
+    import jax.numpy as jnp
+
+    from sdr_channelizer_tpu.config import PdwConfig
+    from sdr_channelizer_tpu.io.convert import load_capture
+    from sdr_channelizer_tpu.models import ChannelizerPipeline, WidebandPdwPipeline
+
+    all_pdws = []
+    for path in args.files:
+        iq, meta = load_capture(path)
+        fs = float(meta["fs"])
+        fc = float(meta.get("fc", 0.0))
+        t0 = float(meta.get("sampleStartTime", 0.0))
+        if args.channelized:
+            m = _bands_for(args, fs)
+            cfg = PdwConfig.channelized(max_pulses=args.max_pulses,
+                                        max_pulse_samples=args.max_pulse_samples)
+            if args.threshold_db is not None:
+                cfg = __import__("dataclasses").replace(cfg, snr_threshold_db=args.threshold_db)
+            pipe = ChannelizerPipeline.create(m, pdw_cfg=cfg)
+            n = len(iq) // m * m
+            pdws = pipe.extract(jnp.asarray(iq[:n]), fs=fs, fc=fc, sample_start_time=t0)
+        else:
+            cfg = PdwConfig.wideband(max_pulses=args.max_pulses,
+                                     max_pulse_samples=args.max_pulse_samples)
+            if args.threshold_db is not None:
+                cfg = __import__("dataclasses").replace(cfg, snr_threshold_db=args.threshold_db)
+            pipe = WidebandPdwPipeline(pdw_cfg=cfg)
+            pdws = pipe.extract(jnp.asarray(iq), fs=fs, fc=fc, sample_start_time=t0)
+        all_pdws.append(pdws)
+        print(f"{path}: {len(pdws['toa'])} pulses")
+
+    merged = {k: np.concatenate([p[k] for p in all_pdws]) for k in all_pdws[0]}
+    order = np.argsort(merged["toa"], kind="stable")
+    merged = {k: v[order] for k, v in merged.items()}
+    out = args.out or "pdw.npz"
+    np.savez(out, **merged)
+    print(out)
+    if args.png:
+        from sdr_channelizer_tpu.viz import pdw_plot_png
+
+        pdw_plot_png(args.png, merged)
+        print(args.png)
+    return 0
+
+
+def cmd_predict(args) -> int:
+    """predict_event.m parity: per-file quadratic fits -> next-event time."""
+    import jax.numpy as jnp
+
+    from sdr_channelizer_tpu.config import PdwConfig
+    from sdr_channelizer_tpu.dsp.events import EventPredictor
+    from sdr_channelizer_tpu.io.convert import load_capture
+    from sdr_channelizer_tpu.models import WidebandPdwPipeline
+
+    cfg = PdwConfig.event(max_pulses=args.max_pulses,
+                          max_pulse_samples=args.max_pulse_samples)
+    pipe = WidebandPdwPipeline(pdw_cfg=cfg)
+    pred = EventPredictor()
+    base_time = None
+    next_event = None
+    for path in args.files:
+        iq, meta = load_capture(path)
+        t0 = float(meta.get("sampleStartTime", 0.0))
+        if base_time is None:
+            base_time = t0
+        pdws = pipe.extract(jnp.asarray(iq), fs=float(meta["fs"]),
+                            sample_start_time=t0 - base_time)
+        nxt = pred.update(pdws["toa"], pdws["snr"],
+                          max_abs_iq=float(np.max(np.abs(iq))))
+        if nxt is not None:
+            next_event = nxt
+            print(f"{path}: event at +{pred.events[-1]:.6f}s, "
+                  f"next predicted +{nxt:.6f}s")
+        else:
+            print(f"{path}: gated out / too few pulses")
+    if next_event is not None:
+        print(f"Next event: {base_time + next_event:.6f} (epoch)")
+        if args.png:
+            from sdr_channelizer_tpu.viz import event_fit_png
+
+            ev = pred.events
+            event_fit_png(args.png, np.asarray(ev), np.zeros(len(ev)),
+                          event_time=ev[-1], next_event_time=next_event)
+    return 0
+
+
+def cmd_track(args) -> int:
+    """usrp_predict_event parity against the emulated radio."""
+    from sdr_channelizer_tpu.capture import EmulatedRadio, EventTracker
+
+    radio = EmulatedRadio(
+        sample_rate_sps=args.rate_msps * 1e6, tone_offset_hz=args.offset_mhz * 1e6,
+        pulse_width_sec=args.pw_us * 1e-6, pri_sec=args.pri_us * 1e-6,
+        gain_db=args.gain_db, rel_amplitude=args.amplitude, noise_db=args.noise_db,
+        scan_period_sec=args.scan_period_sec, scan_phase_sec=args.scan_phase_sec,
+        scan_curvature_db_per_s2=args.scan_curvature,
+    )
+    tracker = EventTracker(radio=radio, dwell_sec=args.dwell_sec)
+    n = int(args.duration_sec / args.dwell_sec)
+    for rep in tracker.run(n):
+        line = (f"t={rep.start_time:9.3f}s pulses={rep.num_pulses:4d} "
+                f"gain={rep.gain_db:5.1f}dB")
+        if rep.event_time is not None:
+            line += f" event={rep.event_time:9.3f}s"
+        if rep.next_event_time is not None:
+            line += f" next={rep.next_event_time:9.3f}s"
+        if rep.saturated:
+            line += " SATURATED"
+        print(line)
+    return 0
+
+
+def cmd_spectrogram(args) -> int:
+    import jax.numpy as jnp
+
+    from sdr_channelizer_tpu.config import SpectrogramConfig
+    from sdr_channelizer_tpu.dsp.spectrogram import save_png, stft_power
+    from sdr_channelizer_tpu.io.convert import load_capture
+
+    cfg = SpectrogramConfig(window_length=args.window)
+    for path in args.files:
+        iq, meta = load_capture(path)
+        power = np.asarray(stft_power(jnp.asarray(iq), cfg=cfg))
+        out = _out_path(path, args.out_dir, "_spectrogram.png")
+        save_png(out, power, float(meta["fs"]), float(meta.get("fc", 0.0)),
+                 cfg=cfg, title=os.path.basename(path))
+        print(out)
+    return 0
+
+
+def cmd_plot(args) -> int:
+    from sdr_channelizer_tpu.io.convert import load_capture
+    from sdr_channelizer_tpu.viz import plot_iq_png
+
+    for path in args.files:
+        iq, meta = load_capture(path)
+        out = _out_path(path, args.out_dir, "_iq.png")
+        plot_iq_png(out, iq, float(meta["fs"]), title=os.path.basename(path))
+        print(out)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    cmd = [sys.executable, os.path.join(repo, "bench.py")] + args.bench_args
+    return subprocess.call(cmd)
+
+
+def _add_capture_args(p, with_signal=True):
+    p.add_argument("freq_mhz", type=float)
+    p.add_argument("bw_mhz", type=float)
+    p.add_argument("rate_msps", type=float)
+    p.add_argument("gain_db", type=float)
+    p.add_argument("dwell_sec", type=float)
+    p.add_argument("duration_sec", type=float)
+    if with_signal:
+        p.add_argument("--offset-mhz", type=float, default=5.0)
+        p.add_argument("--pw-us", type=float, default=100.0)
+        p.add_argument("--pri-us", type=float, default=1000.0)
+        p.add_argument("--noise-db", type=float, default=-60.0)
+        p.add_argument("--amplitude", type=float, default=1.0)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="sdr_channelizer_tpu",
+        description="TPU-native wideband channelizer + pulse-detection framework",
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("generate", help="write synthetic training .iq captures")
+    p.add_argument("--out-dir", default=".")
+    p.add_argument("--count", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fs-msps", type=float, default=56.0)
+    p.add_argument("--duration-sec", type=float, default=100e-3)
+    p.add_argument("--freq-mhz", type=float, default=None,
+                   help="fix the tone frequency (default: random per file)")
+    p.add_argument("--pw-us", type=float, default=100.0)
+    p.add_argument("--pri-us", type=float, default=1000.0)
+    p.add_argument("--noise-std", type=float, default=0.0)
+    p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser("record", help="emulated recorder (7-arg CLI contract)")
+    _add_capture_args(p)
+    p.add_argument("filter_delay", type=int, nargs="?", default=0)
+    p.add_argument("--out-dir", default=".")
+    p.add_argument("--bit-width", type=int, default=12)
+    p.add_argument("--python-emulator", action="store_true")
+    p.set_defaults(fn=cmd_record)
+
+    p = sub.add_parser("gain-search", help="max-unsaturated-gain search")
+    _add_capture_args(p)
+    p.set_defaults(fn=cmd_gain_search)
+
+    p = sub.add_parser("convert", help=".iq/.bin -> .npz or .mat")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--out-dir", default=None)
+    p.add_argument("--mat", action="store_true")
+    p.add_argument("--raw", action="store_true", help="keep integer payload")
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("channelize", help="polyphase channelize + waterfall")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--bands", type=int, default=None)
+    p.add_argument("--bin-width-hz", type=float, default=1e6)
+    p.add_argument("--taps-per-band", type=int, default=12)
+    p.add_argument("--out", default=None)
+    p.add_argument("--out-dir", default=None)
+    p.add_argument("--png", default=None, const="auto", nargs="?")
+    p.set_defaults(fn=cmd_channelize)
+
+    p = sub.add_parser("pdw", help="extract pulse descriptor words")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--channelized", action="store_true")
+    p.add_argument("--bands", type=int, default=None)
+    p.add_argument("--bin-width-hz", type=float, default=1e6)
+    p.add_argument("--threshold-db", type=float, default=None)
+    p.add_argument("--max-pulses", type=int, default=512)
+    p.add_argument("--max-pulse-samples", type=int, default=4096)
+    p.add_argument("--out", default=None)
+    p.add_argument("--png", default=None)
+    p.set_defaults(fn=cmd_pdw)
+
+    p = sub.add_parser("predict", help="offline event prediction over captures")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--max-pulses", type=int, default=512)
+    p.add_argument("--max-pulse-samples", type=int, default=65536)
+    p.add_argument("--png", default=None)
+    p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser("track", help="closed-loop event tracker (emulated)")
+    _add_capture_args(p)
+    p.add_argument("--scan-period-sec", type=float, default=0.5)
+    p.add_argument("--scan-phase-sec", type=float, default=0.1)
+    p.add_argument("--scan-curvature", type=float, default=2000.0)
+    p.set_defaults(fn=cmd_track)
+
+    p = sub.add_parser("spectrogram", help="STFT power PNG per capture")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--window", type=int, default=768)
+    p.add_argument("--out-dir", default=None)
+    p.set_defaults(fn=cmd_spectrogram)
+
+    p = sub.add_parser("plot", help="magnitude/phase PNG per capture")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--out-dir", default=None)
+    p.set_defaults(fn=cmd_plot)
+
+    p = sub.add_parser("bench", help="run the repo benchmark")
+    p.add_argument("bench_args", nargs="*")
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)

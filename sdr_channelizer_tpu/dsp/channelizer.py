@@ -112,11 +112,15 @@ class Channelizer:
     def decimated_rate(self, sample_rate_sps: float) -> float:
         return sample_rate_sps / self.num_bands
 
-    def __call__(self, x: jax.Array, shift: bool = True) -> jax.Array:
-        return channelize(x, self, shift=shift)
+    def __call__(self, x: jax.Array, shift: bool = True, method: str = "auto") -> jax.Array:
+        return channelize(x, self, shift=shift, method=method)
 
     def stream_block(
-        self, x_block: jax.Array, state: ChannelizerState, shift: bool = True
+        self,
+        x_block: jax.Array,
+        state: ChannelizerState,
+        shift: bool = True,
+        method: str = "auto",
     ) -> Tuple[jax.Array, ChannelizerState]:
         """Channelize one block carrying filter history across calls.
 
@@ -125,32 +129,60 @@ class Channelizer:
         overlap-save contract the sharded path relies on.
         """
         return _channelize_block(
-            x_block, state, jnp.asarray(self.taps_rev), self.num_bands, shift
+            x_block, state, jnp.asarray(self.taps_rev), self.num_bands, shift,
+            resolve_method(method),
         )
 
 
-def channelize(x: jax.Array, chan: Channelizer, shift: bool = True) -> jax.Array:
+def resolve_method(method: str = "auto") -> str:
+    """Pick the channel-extraction backend.
+
+    ``"fft"`` — ``jnp.fft.fft`` + external ``fftshift``; the bit-parity
+    oracle, and fastest on CPU.  ``"dft"`` — DFT-as-matmul on the MXU with
+    the shift folded into the matrix columns; the TPU path (XLA's FFT does
+    not lower on the TPU backend used here, and for per-hop sizes M <= a few
+    hundred the matmul wins regardless).  ``"auto"`` selects by backend.
+    """
+    if method != "auto":
+        return method
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        platform = "cpu"
+    return "fft" if platform == "cpu" else "dft"
+
+
+def channelize(
+    x: jax.Array, chan: Channelizer, shift: bool = True, method: str = "auto"
+) -> jax.Array:
     """Channelize a 1-D complex capture. Returns ``(N // M, M)`` complex64."""
     m = chan.num_bands
     n_frames = x.shape[-1] // m
     x = x[..., : n_frames * m]
     frames = x.reshape(*x.shape[:-1], n_frames, m)
     hist = jnp.zeros((*x.shape[:-1], chan.taps_per_band, m), frames.dtype)
-    y = _fir_dft(frames, hist, jnp.asarray(chan.taps_rev))
+    u = _fir_branches(frames, hist, jnp.asarray(chan.taps_rev))
+    if resolve_method(method) == "dft":
+        return u @ jnp.asarray(dft_matrix(m, shifted=shift))
+    y = jnp.fft.fft(u, axis=-1)
     return jnp.fft.fftshift(y, axes=-1) if shift else y
 
 
-@functools.partial(jax.jit, static_argnames=("num_bands", "shift"))
-def _channelize_block(x_block, state, taps_rev, num_bands, shift):
+@functools.partial(jax.jit, static_argnames=("num_bands", "shift", "method"))
+def _channelize_block(x_block, state, taps_rev, num_bands, shift, method="fft"):
     m = num_bands
     n_frames = x_block.shape[-1] // m
     frames = x_block[: n_frames * m].reshape(n_frames, m)
-    y = _fir_dft(frames, state.frames, taps_rev)
+    u = _fir_branches(frames, state.frames, taps_rev)
+    if method == "dft":
+        y = u @ jnp.asarray(dft_matrix(m, shifted=shift))
+    else:
+        y = jnp.fft.fft(u, axis=-1)
+        if shift:
+            y = jnp.fft.fftshift(y, axes=-1)
     p = taps_rev.shape[0]
     all_frames = jnp.concatenate([state.frames, frames], axis=0)
     new_state = ChannelizerState(frames=all_frames[-p:])
-    if shift:
-        y = jnp.fft.fftshift(y, axes=-1)
     return y, new_state
 
 

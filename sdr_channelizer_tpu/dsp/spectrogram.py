@@ -32,19 +32,29 @@ def stft_power(
     iq: jax.Array,
     window: Optional[jax.Array] = None,
     cfg: SpectrogramConfig = SpectrogramConfig(),
+    method: str = "auto",
 ) -> jax.Array:
     """Squared-magnitude STFT with zero overlap.
 
     Returns ``(num_frames, window_length)`` float32 power, frequency axis in
     FFT-shifted (ascending, DC-centered) order to match the reference's
-    'centered' display.
+    'centered' display.  ``method`` follows
+    :func:`dsp.channelizer.resolve_method`: the TPU path computes the DFT as
+    a windowed matmul on the MXU (window folded into the DFT matrix).
     """
+    from sdr_channelizer_tpu.dsp.channelizer import dft_matrix, resolve_method
+
     w = jnp.asarray(hamming(cfg.window_length) if window is None else window)
     length = w.shape[0]
     frames = iq.shape[-1] // length
     x = iq[..., : frames * length].reshape(*iq.shape[:-1], frames, length)
-    spec = jnp.fft.fft(x * w, axis=-1)
-    spec = jnp.fft.fftshift(spec, axes=-1)
+    if resolve_method(method) == "dft":
+        wmat = jnp.asarray(dft_matrix(length, shifted=True)) * w[:, None].astype(
+            jnp.complex64
+        )
+        spec = x @ wmat
+    else:
+        spec = jnp.fft.fftshift(jnp.fft.fft(x * w, axis=-1), axes=-1)
     return jnp.square(jnp.abs(spec)).astype(jnp.float32)
 
 

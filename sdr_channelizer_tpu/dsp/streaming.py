@@ -1,0 +1,263 @@
+"""Streaming/blocking layer: run the channelize -> PDW chain over captures
+too large for one device buffer, and over multi-file capture sets.
+
+The reference's unit of storage is one ``.iq`` file per dwell with an
+absolute ``sampleStartTime`` (``Helper.cpp:22``,
+``usrp_record_iq_12bit.cpp:196``), and its channelizer demo walks a capture
+in windows (``channelizer_example.m:33-50``).  This module formalizes both:
+
+* :class:`CaptureSet` — an ordered set of ``.iq`` files grouped into
+  *contiguous segments* (files whose start time continues the previous
+  file's samples within half a sample period).  Timed dwells with gaps form
+  separate segments, exactly like the reference treating files
+  independently while TOAs stay absolute.
+
+* :class:`StreamingExtractor` — overlap-save block processing within a
+  segment: the channelizer carries its P-frame FIR history
+  (``Channelizer.stream_block``) and the PDW detector carries its latch
+  state across blocks via transfer-function composition
+  (``dsp.pdw.block_transfer``), with a one-block lookahead providing the
+  right halo so pulses straddling block boundaries are emitted exactly once
+  with exact statistics.  Block outputs concatenate bit-for-bit to the
+  single-shot result — same contract as the sharded path
+  (``parallel/pipeline.py``), sequential instead of SPMD.
+
+Noise floors: the reference uses the median over the *whole* capture
+(``create_pdws_channelized.m:73``), which no single streaming pass can
+produce.  ``noise_floor="two_pass"`` (default) channelizes twice — once to
+measure floors, once to detect — preserving exact parity;
+``"first_block"`` estimates from the first block only (single pass,
+approximate); or pass precomputed per-channel floors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Iterator, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdr_channelizer_tpu.config import PdwConfig
+from sdr_channelizer_tpu.dsp import pdw as pdwmod
+from sdr_channelizer_tpu.dsp.channelizer import Channelizer
+from sdr_channelizer_tpu.io import iqpacket
+
+
+@dataclasses.dataclass
+class Segment:
+    """A maximal run of time-contiguous dwell files."""
+
+    paths: List[str]
+    headers: List[iqpacket.IqHeader]
+
+    @property
+    def start_time(self) -> float:
+        return self.headers[0].sample_start_time
+
+    @property
+    def num_samples(self) -> int:
+        return sum(h.num_samples for h in self.headers)
+
+    def iter_samples(self, block_samples: int) -> Iterator[np.ndarray]:
+        """Yield normalized complex64 blocks of exactly ``block_samples``
+        (last block may be short)."""
+        carry = np.zeros(0, np.complex64)
+        for path, hdr in zip(self.paths, self.headers):
+            _, samples = iqpacket.read_iq(path)
+            iq = iqpacket.to_complex(np.asarray(samples), hdr.bit_width)
+            buf = np.concatenate([carry, iq]) if carry.size else iq
+            n_full = buf.size // block_samples
+            for k in range(n_full):
+                yield buf[k * block_samples : (k + 1) * block_samples]
+            carry = buf[n_full * block_samples :]
+        if carry.size:
+            yield carry
+
+
+@dataclasses.dataclass
+class CaptureSet:
+    """Ordered ``.iq`` files split into contiguous segments."""
+
+    segments: List[Segment]
+
+    @classmethod
+    def from_paths(
+        cls, paths: Sequence[str], tol_samples: float = 0.5
+    ) -> "CaptureSet":
+        entries = []
+        for p in paths:
+            hdr, _ = iqpacket.read_iq(p)
+            entries.append((hdr.sample_start_time, str(p), hdr))
+        entries.sort(key=lambda e: e[0])
+        segs: List[Segment] = []
+        for t0, path, hdr in entries:
+            if segs:
+                prev = segs[-1].headers[-1]
+                expected_end = prev.sample_start_time + prev.num_samples / prev.sample_rate_sps
+                gap = abs(t0 - expected_end) * hdr.sample_rate_sps
+                same_rate = hdr.sample_rate_sps == prev.sample_rate_sps
+                if same_rate and gap <= tol_samples:
+                    segs[-1].paths.append(path)
+                    segs[-1].headers.append(hdr)
+                    continue
+            segs.append(Segment(paths=[path], headers=[hdr]))
+        return cls(segments=segs)
+
+    @classmethod
+    def from_dir(cls, directory: str, pattern: str = "*.iq") -> "CaptureSet":
+        import glob
+        import os
+
+        return cls.from_paths(sorted(glob.glob(os.path.join(directory, pattern))))
+
+
+@dataclasses.dataclass
+class StreamingExtractor:
+    """Blockwise channelize -> PDW over one contiguous sample stream."""
+
+    channelizer: Channelizer
+    pdw_cfg: PdwConfig
+    block_frames: int = 65536
+    halo_frames: Optional[int] = None  # default: pdw_cfg.max_pulse_samples
+
+    def __post_init__(self):
+        self._halo = self.halo_frames or self.pdw_cfg.max_pulse_samples
+        cfg = self.pdw_cfg
+
+        @functools.partial(jax.jit, static_argnames=("own_len",))
+        def _detect_block(mag_e, ph_e, sat_e, nf, entry, *, own_len):
+            core = functools.partial(
+                pdwmod.extract_pdws_block_core,
+                own_len=own_len,
+                snr_threshold_db=cfg.snr_threshold_db,
+                trailing_threshold_db=cfg.trailing_threshold_db,
+                max_pulses=cfg.max_pulses,
+                max_pulse_samples=cfg.max_pulse_samples,
+            )
+            batch = jax.vmap(core, in_axes=(1, 1, 1, 0, 0))(
+                mag_e, ph_e, sat_e, nf, entry
+            )
+            a, b = pdwmod.block_transfer(
+                mag_e[:own_len].T, nf[:, None],
+                cfg.snr_threshold_db, cfg.trailing_threshold_db,
+            )
+            return batch, a, b
+
+        self._detect_block = _detect_block
+
+    def _channelized_blocks(self, sample_blocks: Iterator[np.ndarray]):
+        """Channelize a sample-block stream; yields (T_i, M) complex arrays
+        whose concatenation equals the single-shot channelizer output."""
+        m = self.channelizer.num_bands
+        state = self.channelizer.init_state()
+        carry = np.zeros(0, np.complex64)
+        for block in sample_blocks:
+            buf = np.concatenate([carry, block]) if carry.size else block
+            n_frames = buf.size // m
+            carry = buf[n_frames * m :]
+            if n_frames == 0:
+                continue
+            y, state = self.channelizer.stream_block(
+                jnp.asarray(buf[: n_frames * m]), state
+            )
+            yield y
+
+    def measure_noise_floor(self, sample_blocks: Iterator[np.ndarray]) -> np.ndarray:
+        """Per-channel median magnitude over the whole stream (pass 1 of the
+        exact two-pass mode).  Collects per-block magnitudes on host —
+        median is not streaming-composable."""
+        mags = [np.abs(np.asarray(y)) for y in self._channelized_blocks(sample_blocks)]
+        return np.median(np.concatenate(mags, axis=0), axis=0)
+
+    def extract(
+        self,
+        make_sample_blocks,  # () -> Iterator[np.ndarray]; callable so the
+        # two-pass mode can re-read the source
+        fs: float,
+        fc: float = 0.0,
+        sample_start_time: float = 0.0,
+        noise_floor: Union[str, np.ndarray] = "two_pass",
+    ) -> dict:
+        """Run the stream; returns the host PDW dict (absolute TOAs/freqs)."""
+        m = self.channelizer.num_bands
+        cfg = self.pdw_cfg
+        halo = self._halo
+
+        if isinstance(noise_floor, str) and noise_floor == "two_pass":
+            nf = jnp.asarray(self.measure_noise_floor(make_sample_blocks()))
+        elif isinstance(noise_floor, str) and noise_floor == "first_block":
+            nf = None  # set from the first block below
+        else:
+            nf = jnp.asarray(noise_floor)
+
+        entry = jnp.zeros((m,), bool)
+        results = []
+        offsets = []
+        offset = 0
+
+        pending = None  # previous block's (mag, ph, sat) awaiting its halo
+
+        def flush(prev, halo_streams, own_len, entry):
+            mag_e = jnp.concatenate([prev[0], halo_streams[0]], axis=0)
+            ph_e = jnp.concatenate([prev[1], halo_streams[1]], axis=0)
+            sat_e = jnp.concatenate([prev[2], halo_streams[2]], axis=0)
+            return self._detect_block(
+                mag_e, ph_e, sat_e, nf, entry, own_len=own_len
+            )
+
+        for y in self._channelized_blocks(make_sample_blocks()):
+            mag, ph, sat = pdwmod._prep_streams(y, cfg.saturation_level)
+            if nf is None:
+                nf = jnp.median(mag, axis=0)
+            if pending is not None:
+                h = min(halo, mag.shape[0])
+                batch, a, b = flush(
+                    pending, (mag[:h], ph[:h], sat[:h]), pending[0].shape[0], entry
+                )
+                entry = jnp.where(entry, b, a)
+                results.append(jax.tree.map(np.asarray, batch))
+                offsets.append(offset)
+                offset += int(pending[0].shape[0])
+            pending = (mag, ph, sat)
+
+        if pending is not None:
+            # Final block: +inf halo = "capture ends here" (open pulses die).
+            t_end = pending[0].shape[0]
+            inf = jnp.full((1, m), jnp.inf, pending[0].dtype)
+            batch, _, _ = flush(
+                pending,
+                (inf, jnp.zeros((1, m), pending[1].dtype), jnp.zeros((1, m), bool)),
+                t_end,
+                entry,
+            )
+            results.append(jax.tree.map(np.asarray, batch))
+            offsets.append(offset)
+
+        return self._finalize(results, offsets, fs, fc, sample_start_time)
+
+    def _finalize(self, results, offsets, fs, fc, sample_start_time) -> dict:
+        m = self.channelizer.num_bands
+        fields = {}
+        for name in ("toa_idx", "te_idx", "pw_sec", "mag", "snr_db",
+                     "freq_offset_hz", "saturated", "valid", "count"):
+            parts = []
+            for batch, off in zip(results, offsets):
+                v = getattr(batch, name)
+                if name in ("toa_idx", "te_idx"):
+                    v = np.where(batch.valid, v.astype(np.int64) + off, -1)
+                parts.append(v)
+            if name == "count":
+                fields[name] = np.sum(parts, axis=0)
+            else:
+                fields[name] = np.concatenate(parts, axis=1)  # (M, total)
+        merged = pdwmod.PdwBatch(**fields)
+        return pdwmod.finalize_pdws(
+            merged,
+            fs=fs / m,
+            fc=fc,
+            sample_start_time=sample_start_time,
+            bin_offsets_hz=self.channelizer.center_frequencies(fs),
+        )

@@ -1,0 +1,188 @@
+"""Fused polyphase-channelizer Pallas kernel.
+
+One pass over the capture computes, per hop ``n`` and band ``k``:
+
+    u[n, rho] = sum_p Hr[p, rho] * F[n + P-1 - p, rho]      (branch FIR, VPU)
+    y[n, k]   = sum_rho u[n, rho] * W[rho, k]               (DFT, MXU)
+
+where ``F`` is the frame view of the input with ``P-1`` zero history frames
+prepended (MATLAB System-object zero initial state) and ``W`` is the
+fftshift-folded DFT matrix (``dsp/channelizer.py:dft_matrix``).  Complex
+arithmetic is split into f32 planes — four ``(T_blk, M) @ (M, M)`` real
+matmuls per block — because the MXU is a real systolic array.
+
+The FIR needs overlapping input windows (``T_blk + P - 1`` frames per
+``T_blk``-frame output block), which blocked ``BlockSpec`` indexing cannot
+express; inputs therefore stay in HBM (``memory_space=ANY``) and each grid
+step DMAs its window into a double-buffered VMEM scratch, overlapping the
+next window's DMA with the current block's compute.  Outputs use regular
+blocked specs so Mosaic pipelines the stores.
+
+Semantics match ``dsp.channelizer.channelize(x, chan, method="dft")``
+exactly (same op order per element); the win is fusion — one HBM read of
+the capture instead of XLA's separate FIR/matmul passes — on the dominant
+bandwidth-bound workload (reference workload shape:
+``create_pdws_channelized.m:57``, M = 56..560 bands at 56 Msps).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref, yr_ref, yi_ref,
+            buf_r, buf_i, sems, *, block_frames: int, taps_per_band: int):
+    """Grid step i: window rows [i*T, i*T + T + P - 1) -> block i output."""
+    t_blk = block_frames
+    p = taps_per_band
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    win = t_blk + p - 1
+
+    def window_dma(slot, blk_idx):
+        return (
+            pltpu.make_async_copy(
+                xr_ref.at[pl.ds(blk_idx * t_blk, win), :],
+                buf_r.at[slot], sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                xi_ref.at[pl.ds(blk_idx * t_blk, win), :],
+                buf_i.at[slot], sems.at[slot, 1],
+            ),
+        )
+
+    slot = jax.lax.rem(i, 2)
+    next_slot = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i == 0)
+    def _():  # warm-up: start this block's own window
+        for dma in window_dma(slot, i):
+            dma.start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():  # overlap: start the next window while we compute
+        for dma in window_dma(next_slot, i + 1):
+            dma.start()
+
+    for dma in window_dma(slot, i):
+        dma.wait()
+
+    # Branch FIR: P shifted multiply-accumulates over the window.
+    m = xr_ref.shape[1]
+    ur = jnp.zeros((t_blk, m), jnp.float32)
+    ui = jnp.zeros((t_blk, m), jnp.float32)
+    for pp in range(p):
+        tap = taps_ref[pp, :]
+        sl = slice(p - 1 - pp, p - 1 - pp + t_blk)
+        ur = ur + tap * buf_r[slot, sl, :]
+        ui = ui + tap * buf_i[slot, sl, :]
+
+    # Channel extraction: complex DFT as four real MXU matmuls.
+    wr = wr_ref[...]
+    wi = wi_ref[...]
+    yr_ref[...] = (
+        jnp.dot(ur, wr, preferred_element_type=jnp.float32)
+        - jnp.dot(ui, wi, preferred_element_type=jnp.float32)
+    )
+    yi_ref[...] = (
+        jnp.dot(ur, wi, preferred_element_type=jnp.float32)
+        + jnp.dot(ui, wr, preferred_element_type=jnp.float32)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_frames", "interpret"),
+)
+def _pallas_fir_dft(
+    xr: jax.Array,      # (n_frames_padded + P - 1, M) f32, history-prepended
+    xi: jax.Array,
+    taps: jax.Array,    # (P, M) f32 frame-aligned polyphase taps
+    wr: jax.Array,      # (M, M) f32 Re(DFT), shift folded in
+    wi: jax.Array,      # (M, M) f32 Im(DFT)
+    *,
+    block_frames: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    p, m = taps.shape
+    n_frames = xr.shape[0] - (p - 1)
+    assert n_frames % block_frames == 0
+    n_blocks = n_frames // block_frames
+    win = block_frames + p - 1
+
+    kernel = functools.partial(
+        _kernel, block_frames=block_frames, taps_per_band=p
+    )
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # xr stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # xi stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # taps
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wr
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wi
+        ],
+        out_specs=[
+            pl.BlockSpec((block_frames, m), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_frames, m), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_frames, m), jnp.float32),
+            jax.ShapeDtypeStruct((n_frames, m), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, win, m), jnp.float32),
+            pltpu.VMEM((2, win, m), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(xr, xi, taps, wr, wi)
+    return yr, yi
+
+
+def pallas_channelize(
+    x: jax.Array,
+    taps_rev: np.ndarray,
+    shift: bool = True,
+    block_frames: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Channelize a 1-D complex capture with the fused kernel.
+
+    Drop-in equal to ``channelize(x, chan, method="dft")`` for
+    ``taps_rev = chan.taps_rev``.  Returns ``(N // M, M)`` complex64.
+    """
+    from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
+
+    p, m = taps_rev.shape
+    n_frames = x.shape[-1] // m
+    frames = x[..., : n_frames * m].reshape(n_frames, m)
+
+    n_pad = (-n_frames) % block_frames
+    xr = jnp.real(frames).astype(jnp.float32)
+    xi = jnp.imag(frames).astype(jnp.float32)
+    pad = ((p - 1, n_pad), (0, 0))
+    xr = jnp.pad(xr, pad)
+    xi = jnp.pad(xi, pad)
+
+    w = dft_matrix(m, shifted=shift)
+    yr, yi = _pallas_fir_dft(
+        xr, xi,
+        jnp.asarray(taps_rev, jnp.float32),
+        jnp.asarray(np.real(w), jnp.float32),
+        jnp.asarray(np.imag(w), jnp.float32),
+        block_frames=block_frames,
+        interpret=interpret,
+    )
+    y = jax.lax.complex(yr, yi)
+    return y[:n_frames]

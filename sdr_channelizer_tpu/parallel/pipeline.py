@@ -83,7 +83,7 @@ def _build_channelize_local(chan, n_time: int, n_chan: int, t_loc: int):
         else:
             hist = jnp.zeros((1, m), frames.dtype)
         u = chmod._fir_branches(frames, hist, taps)
-        if n_chan == 1:
+        if n_chan == 1 and chmod.resolve_method("auto") == "fft":
             # FFT path: bit-identical to the single-device reference impl.
             return jnp.fft.fftshift(jnp.fft.fft(u, axis=-1), axes=-1)
         c_i = jax.lax.axis_index(CHAN_AXIS)

@@ -1,0 +1,8 @@
+"""Visualization: the reference's plot outputs as PNG renderers."""
+
+from sdr_channelizer_tpu.viz.plots import (  # noqa: F401
+    plot_iq_png,
+    waterfall_png,
+    pdw_plot_png,
+    event_fit_png,
+)

@@ -1,0 +1,112 @@
+"""PNG renderers for the reference's visual outputs.
+
+* :func:`plot_iq_png` — magnitude + phase vs time with a shared x-axis
+  (``plot_my_iq.m:119-136``).
+* :func:`waterfall_png` — channelizer magnitude waterfall; the reference
+  renders an MPEG-4 surf video (``channelizer_example.m:36-75``), here a
+  single time-frequency mesh.
+* :func:`pdw_plot_png` — PDW frequency and pulse width vs TOA scatter
+  (``create_pdws.m:110-120``).
+* :func:`event_fit_png` — SNR-vs-TOA samples with the fitted parabola and
+  the event/next-event markers (``predict_event.m:20-29,140-150``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_iq_png(path, iq: np.ndarray, fs: float, title: Optional[str] = None) -> None:
+    plt = _plt()
+    t = np.arange(len(iq)) / fs * 1e3
+    fig, (ax1, ax2) = plt.subplots(2, 1, sharex=True, figsize=(10, 6), dpi=100)
+    ax1.plot(t, np.abs(iq), lw=0.4)
+    ax1.set_ylabel("Magnitude")
+    if title:
+        ax1.set_title(title)
+    ax2.plot(t, np.rad2deg(np.angle(iq)), ",", ms=1)
+    ax2.set_ylabel("Phase (deg)")
+    ax2.set_xlabel("Time (ms)")
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+
+
+def waterfall_png(
+    path,
+    chan_mag: np.ndarray,  # (T, M) channel magnitudes (fftshifted order)
+    fs: float,
+    fc: float = 0.0,
+    db: bool = True,
+    title: Optional[str] = None,
+) -> None:
+    plt = _plt()
+    t_frames, m = chan_mag.shape
+    t = np.arange(t_frames) * m / fs * 1e3
+    f = (np.fft.fftshift(np.fft.fftfreq(m)) * fs + fc) * 1e-6
+    z = 20 * np.log10(np.maximum(chan_mag, 1e-9)) if db else chan_mag
+    fig, ax = plt.subplots(figsize=(10, 6), dpi=100)
+    im = ax.pcolormesh(f, t, z, shading="nearest", cmap="viridis", rasterized=True)
+    ax.set_xlabel("Frequency (MHz)")
+    ax.set_ylabel("Time (ms)")
+    if title:
+        ax.set_title(title)
+    fig.colorbar(im, ax=ax, label="Magnitude (dB)" if db else "Magnitude")
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+
+
+def pdw_plot_png(path, pdws: dict, title: Optional[str] = None) -> None:
+    plt = _plt()
+    t = np.asarray(pdws["toa"])
+    t0 = t.min() if t.size else 0.0
+    fig, (ax1, ax2) = plt.subplots(2, 1, sharex=True, figsize=(10, 6), dpi=100)
+    ax1.plot(t - t0, np.asarray(pdws["freq"]) * 1e-6, ".", ms=3)
+    ax1.set_ylabel("Frequency (MHz)")
+    if title:
+        ax1.set_title(title)
+    ax2.plot(t - t0, np.asarray(pdws["pw"]) * 1e6, ".", ms=3)
+    ax2.set_ylabel("Pulse width (us)")
+    ax2.set_xlabel(f"TOA - {t0:.6f} (s)")
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+
+
+def event_fit_png(
+    path,
+    toa: np.ndarray,
+    snr: np.ndarray,
+    event_time: Optional[float] = None,
+    next_event_time: Optional[float] = None,
+    title: Optional[str] = None,
+) -> None:
+    plt = _plt()
+    toa = np.asarray(toa, float)
+    snr = np.asarray(snr, float)
+    fig, ax = plt.subplots(figsize=(10, 6), dpi=100)
+    ax.plot(toa, snr, ".", ms=4, label="pulses")
+    if toa.size >= 3:
+        c = np.polyfit(toa - toa.mean(), snr, 2)
+        tt = np.linspace(toa.min(), toa.max(), 200)
+        ax.plot(tt, np.polyval(c, tt - toa.mean()), "-", label="quadratic fit")
+    if event_time is not None:
+        ax.axvline(event_time, color="tab:green", ls="--", label="event")
+    if next_event_time is not None:
+        ax.axvline(next_event_time, color="tab:red", ls=":", label="next event")
+    ax.set_xlabel("TOA (s)")
+    ax.set_ylabel("SNR (dB)")
+    if title:
+        ax.set_title(title)
+    ax.legend()
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)

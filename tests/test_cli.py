@@ -1,0 +1,128 @@
+"""CLI smoke tests: each subcommand runs end-to-end on small captures and
+produces the promised artifacts."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sdr_channelizer_tpu.cli.main import main
+
+
+@pytest.fixture(scope="module")
+def capture_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("caps")
+    rc = main(["generate", "--out-dir", str(d), "--seed", "5",
+               "--fs-msps", "8", "--duration-sec", "0.004",
+               "--freq-mhz", "2.3", "--pw-us", "100", "--pri-us", "500",
+               "--noise-std", "0.003"])
+    assert rc == 0
+    files = list(d.glob("*.iq"))
+    assert len(files) == 1
+    assert files[0].name == "2.3_MHz_100.0_us_500.0_us.iq"
+    return files[0]
+
+
+def test_generate_random_names(tmp_path):
+    rc = main(["generate", "--out-dir", str(tmp_path), "--count", "2",
+               "--fs-msps", "4", "--duration-sec", "0.002"])
+    assert rc == 0
+    assert len(list(tmp_path.glob("*_MHz_*_us_*_us.iq"))) == 2
+
+
+def test_convert_npz_and_mat(capture_file, tmp_path):
+    rc = main(["convert", str(capture_file), "--out-dir", str(tmp_path)])
+    assert rc == 0
+    z = np.load(tmp_path / (capture_file.stem + ".npz"))
+    assert z["fs"] == 8e6 and z["iq"].dtype == np.complex64
+    rc = main(["convert", str(capture_file), "--mat", "--out-dir", str(tmp_path)])
+    assert rc == 0
+    from scipy.io import loadmat
+
+    m = loadmat(tmp_path / (capture_file.stem + ".mat"))
+    assert float(m["fs"]) == 8e6
+
+
+def test_convert_legacy_bin(tmp_path):
+    iq = (np.arange(20, dtype=np.float32) / 10.0).view(np.float32)
+    p = tmp_path / "8M_1000_MHz_1.bin"
+    iq.tofile(p)
+    rc = main(["convert", str(p), "--out-dir", str(tmp_path)])
+    assert rc == 0
+    z = np.load(tmp_path / "8M_1000_MHz_1.npz")
+    assert z["fs"] == 8e6 and z["fc"] == 1e9 and len(z["iq"]) == 10
+
+
+def test_channelize_cmd(capture_file, tmp_path):
+    out = tmp_path / "chan.npz"
+    png = tmp_path / "wf.png"
+    rc = main(["channelize", str(capture_file), "--bands", "8",
+               "--out", str(out), "--png", str(png)])
+    assert rc == 0
+    z = np.load(out)
+    assert z["chan_iq"].shape[1] == 8
+    assert z["fs"] == 1e6
+    assert png.exists() and png.stat().st_size > 1000
+
+
+def test_pdw_cmd_wideband(capture_file, tmp_path):
+    out = tmp_path / "pdw.npz"
+    png = tmp_path / "pdw.png"
+    rc = main(["pdw", str(capture_file), "--out", str(out), "--png", str(png)])
+    assert rc == 0
+    z = np.load(out)
+    strong = z["snr"] > 25
+    assert strong.sum() >= 7
+    assert abs(np.median(z["pw"][strong]) - 100e-6) < 2e-6
+    assert abs(np.median(z["freq"][strong]) - 2.3e6) < 2e4
+    assert png.exists()
+
+
+def test_pdw_cmd_channelized(capture_file, tmp_path):
+    out = tmp_path / "pdwc.npz"
+    rc = main(["pdw", str(capture_file), "--channelized", "--bands", "8",
+               "--out", str(out), "--max-pulse-samples", "512"])
+    assert rc == 0
+    z = np.load(out)
+    strong = z["snr"] > 25
+    assert strong.sum() >= 7
+    assert np.all(np.abs(z["freq"][strong] - 2.3e6) < 0.5e6)
+
+
+def test_spectrogram_and_plot_cmds(capture_file, tmp_path):
+    rc = main(["spectrogram", str(capture_file), "--out-dir", str(tmp_path),
+               "--window", "256"])
+    assert rc == 0
+    assert (tmp_path / (capture_file.stem + "_spectrogram.png")).exists()
+    rc = main(["plot", str(capture_file), "--out-dir", str(tmp_path)])
+    assert rc == 0
+    assert (tmp_path / (capture_file.stem + "_iq.png")).exists()
+
+
+def test_record_and_predict_cmds(tmp_path):
+    rec = tmp_path / "rec"
+    rc = main(["record", "1000", "8", "2", "55", "0.01", "0.03", "0",
+               "--out-dir", str(rec), "--offset-mhz", "0.31",
+               "--pw-us", "100", "--pri-us", "2000", "--noise-db", "-55"])
+    assert rc == 0
+    files = sorted(str(p) for p in rec.glob("*.iq"))
+    assert len(files) == 3
+    rc = main(["predict", *files, "--max-pulse-samples", "4096"])
+    assert rc == 0
+
+
+def test_gain_search_cmd(capsys):
+    rc = main(["gain-search", "1000", "8", "1", "64", "0.002", "0.02",
+               "--offset-mhz", "0.13", "--noise-db", "-300"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Max unsaturated gain: 59.0 dB" in out
+
+
+def test_track_cmd(capsys):
+    rc = main(["track", "1000", "8", "1", "60", "0.08", "1.6",
+               "--offset-mhz", "0.1", "--pw-us", "10", "--pri-us", "5000",
+               "--noise-db", "-55", "--amplitude", "0.9"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pulses=" in out

@@ -1,0 +1,118 @@
+"""Streaming layer tests: blockwise channelize->PDW must equal the
+single-shot pipeline bit-for-bit, and CaptureSet must group dwell files into
+contiguous segments by their absolute start times."""
+
+import os
+import shutil
+import subprocess
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdr_channelizer_tpu.config import PdwConfig
+from sdr_channelizer_tpu.dsp.channelizer import Channelizer, channelize
+from sdr_channelizer_tpu.dsp.pdw import extract_pdws_channelized, finalize_pdws
+from sdr_channelizer_tpu.dsp.streaming import CaptureSet, StreamingExtractor
+from sdr_channelizer_tpu.signal.synth import PulseTrainSpec, pulse_train
+
+M = 8
+FS = 8e6
+
+
+def _capture(n_frames=8192, seed=3):
+    n = n_frames * M
+    dur = n / FS
+    specs = [
+        PulseTrainSpec(sample_rate_sps=FS, duration_sec=dur, frequency_hz=1.02e6,
+                       pulse_width_sec=120e-6, pri_sec=410e-6, start_index=37),
+        PulseTrainSpec(sample_rate_sps=FS, duration_sec=dur, frequency_hz=-2.97e6,
+                       pulse_width_sec=900e-6, pri_sec=2100e-6, start_index=5000),
+    ]
+    rng = np.random.default_rng(seed)
+    iq = sum(pulse_train(s) for s in specs)
+    return (iq + 1e-3 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+            ).astype(np.complex64)
+
+
+@pytest.fixture(scope="module")
+def capture():
+    return _capture()
+
+
+@pytest.fixture(scope="module")
+def reference_pdws(capture):
+    chan = Channelizer.create(M)
+    cfg = PdwConfig.channelized(max_pulses=128, max_pulse_samples=1024)
+    y = channelize(jnp.asarray(capture), chan)
+    batch = extract_pdws_channelized(y, cfg)
+    return finalize_pdws(
+        batch, fs=FS / M, fc=5e8, sample_start_time=50.0,
+        bin_offsets_hz=chan.center_frequencies(FS),
+    )
+
+
+@pytest.mark.parametrize("block_samples", [8192 * 8 // 4, 10000])
+def test_streaming_matches_single_shot(capture, reference_pdws, block_samples):
+    """Odd block sizes (not multiples of M) exercise the frame-carry path."""
+    chan = Channelizer.create(M)
+    cfg = PdwConfig.channelized(max_pulses=128, max_pulse_samples=1024)
+    ext = StreamingExtractor(chan, cfg, block_frames=2048)
+
+    def blocks():
+        for k in range(0, len(capture), block_samples):
+            yield capture[k : k + block_samples]
+
+    got = ext.extract(blocks, fs=FS, fc=5e8, sample_start_time=50.0)
+    ref = reference_pdws
+    assert len(got["toa"]) == len(ref["toa"])
+    for key in ("toa", "freq", "pw", "mag", "snr", "sat", "channel"):
+        np.testing.assert_array_equal(got[key], ref[key])
+
+
+def test_capture_set_segments(tmp_path):
+    """Contiguous dwells merge into one segment; filter-delay gaps split."""
+    if shutil.which("g++") is None:
+        pytest.skip("no native toolchain")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(["make", "-C", os.path.join(repo, "native")],
+                   check=True, capture_output=True)
+    exe = os.path.join(repo, "native", "build", "sdr_record_emulator")
+
+    cont = tmp_path / "contig"
+    gapped = tmp_path / "gapped"
+    cont.mkdir(), gapped.mkdir()
+    base = [exe, "1000", "56", "2", "30", "0.004", "0.012"]
+    subprocess.run(base[:7] + ["0", "--out-dir", str(cont),
+                               "--start-epoch", "1723800000.0"],
+                   check=True, capture_output=True)
+    subprocess.run(base[:7] + ["500", "--out-dir", str(gapped),
+                               "--start-epoch", "1723900000.0"],
+                   check=True, capture_output=True)
+
+    cs = CaptureSet.from_dir(str(cont))
+    assert len(cs.segments) == 1 and len(cs.segments[0].paths) == 3
+
+    cs2 = CaptureSet.from_dir(str(gapped))
+    assert len(cs2.segments) == 3  # 500-sample gap per dwell
+
+    # Segment sample iterator re-chunks across file boundaries.
+    seg = cs.segments[0]
+    blocks = list(seg.iter_samples(5000))
+    assert sum(b.size for b in blocks) == seg.num_samples
+    assert all(b.size == 5000 for b in blocks[:-1])
+
+
+def test_streaming_first_block_mode(capture):
+    """Single-pass approximate mode runs and finds the strong pulses."""
+    chan = Channelizer.create(M)
+    cfg = PdwConfig.channelized(max_pulses=128, max_pulse_samples=1024)
+    ext = StreamingExtractor(chan, cfg, block_frames=4096)
+
+    def blocks():
+        half = len(capture) // 2
+        yield capture[:half]
+        yield capture[half:]
+
+    got = ext.extract(blocks, fs=FS, noise_floor="first_block")
+    assert len(got["toa"]) > 10
