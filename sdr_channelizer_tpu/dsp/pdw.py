@@ -51,6 +51,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sdr_channelizer_tpu.config import PdwConfig
+from sdr_channelizer_tpu.ops import medians
 from sdr_channelizer_tpu.ops.medians import masked_median
 
 
@@ -113,9 +114,19 @@ def hysteresis_scan(ge_lead: jax.Array, le_trail: jax.Array, axis: int = -1) -> 
 
 def _edge_indices(edge: jax.Array, max_pulses: int) -> jax.Array:
     """Indices of True entries, padded with len(edge) (an out-of-range
-    sentinel) to ``max_pulses``."""
-    (idx,) = jnp.nonzero(edge, size=max_pulses, fill_value=edge.shape[0])
-    return idx.astype(jnp.int32)
+    sentinel) to ``max_pulses``.
+
+    Sort-free (``jnp.nonzero(size=...)`` lowers through sort on some TPU
+    backends): each True element's rank is its exclusive prefix count, and a
+    scatter writes its position at that rank; ranks beyond ``max_pulses``
+    drop.
+    """
+    t = edge.shape[0]
+    pos = jnp.arange(t, dtype=jnp.int32)
+    rank = jnp.cumsum(edge) - 1
+    rank = jnp.where(edge, rank, max_pulses)  # non-edges scatter out of range
+    out = jnp.full((max_pulses,), t, jnp.int32)
+    return out.at[rank].set(pos, mode="drop")
 
 
 @functools.partial(
@@ -328,7 +339,7 @@ def extract_pdws(
     """
     mag, phase_deg, sat = _prep_streams(iq, cfg.saturation_level)
     if noise_floor is None:
-        noise_floor = jnp.median(mag)
+        noise_floor = medians.median(mag)
     return extract_pdws_core(
         mag,
         phase_deg,
@@ -355,7 +366,7 @@ def extract_pdws_channelized(
     """
     mag, phase_deg, sat = _prep_streams(chan_iq, cfg.saturation_level)
     if noise_floor is None:
-        noise_floor = jnp.median(mag, axis=0)
+        noise_floor = medians.median(mag, axis=0)
     core = functools.partial(
         extract_pdws_core,
         snr_threshold_db=cfg.snr_threshold_db,

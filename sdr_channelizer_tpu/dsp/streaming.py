@@ -42,6 +42,7 @@ import numpy as np
 
 from sdr_channelizer_tpu.config import PdwConfig
 from sdr_channelizer_tpu.dsp import pdw as pdwmod
+from sdr_channelizer_tpu.ops import medians
 from sdr_channelizer_tpu.dsp.channelizer import Channelizer
 from sdr_channelizer_tpu.io import iqpacket
 
@@ -211,7 +212,7 @@ class StreamingExtractor:
         for y in self._channelized_blocks(make_sample_blocks()):
             mag, ph, sat = pdwmod._prep_streams(y, cfg.saturation_level)
             if nf is None:
-                nf = jnp.median(mag, axis=0)
+                nf = medians.median(mag, axis=0)
             if pending is not None:
                 h = min(halo, mag.shape[0])
                 batch, a, b = flush(

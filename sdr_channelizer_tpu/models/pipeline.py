@@ -19,6 +19,7 @@ import numpy as np
 
 from sdr_channelizer_tpu.config import ChannelizerConfig, PdwConfig
 from sdr_channelizer_tpu.dsp import pdw as pdwmod
+from sdr_channelizer_tpu.ops import medians
 from sdr_channelizer_tpu.dsp.channelizer import Channelizer, channelize
 from sdr_channelizer_tpu.dsp.pdw import PdwBatch
 
@@ -50,7 +51,7 @@ class ChannelizerPipeline:
         """The pure forward step (jit-compatible): capture -> (chan_iq,
         noise_floor, PdwBatch)."""
         y = channelize(x, self.channelizer)
-        nf = jnp.median(jnp.abs(y), axis=0)
+        nf = medians.median(jnp.abs(y), axis=0)
         batch = pdwmod.extract_pdws_channelized(y, self.pdw_cfg, noise_floor=nf)
         return y, nf, batch
 
@@ -93,7 +94,7 @@ class WidebandPdwPipeline:
 
     def forward(self, x: jax.Array) -> Tuple[jax.Array, PdwBatch]:
         mag = jnp.abs(x)
-        nf = jnp.median(mag)
+        nf = medians.median(mag)
         batch = pdwmod.extract_pdws(x, self.pdw_cfg, noise_floor=nf)
         return nf, batch
 

@@ -3,29 +3,83 @@
 ``:86``, PRI ``predict_event.m:135``).  MATLAB ``median`` semantics: middle
 element for odd length, mean of the two middle elements for even length.
 
-On TPU, medians are sort-based; for masked fixed-width windows (per-pulse
-statistics under static shapes) we sort with +inf padding and index the
-middle by the true count.
+Two exact implementations, selected per backend:
+
+* **sort** — ``jnp.sort``-based (CPU default; XLA sorts well there);
+* **select** — sort-free radix selection: map f32 to order-preserving u32
+  keys, then walk the 32 bits MSB-first, counting survivors below each
+  pivot (32 data passes, pure elementwise + reductions).  This is the TPU
+  path: the TPU backend used here does not lower ``sort``, and even where
+  it does, a counting selection beats a full sort for single order
+  statistics.  Both paths pick exactly the same order statistics, so
+  results are bit-identical across backends (SURVEY.md section 7's
+  "document the median choice" note: the choice is *exact* on both).
 """
 
 from __future__ import annotations
 
+import functools
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def median(x: jax.Array, axis: int = -1) -> jax.Array:
-    """Exact MATLAB-semantics median along ``axis`` (jnp.median matches)."""
-    return jnp.median(x, axis=axis)
+def use_sort_free() -> bool:
+    """True when the default backend should avoid ``sort`` lowering."""
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except RuntimeError:
+        return False
 
 
-def masked_median(x: jax.Array, mask: jax.Array, axis: int = -1) -> jax.Array:
-    """Median of ``x`` where ``mask`` is True along ``axis``.
+def _sortable_u32(x: jax.Array) -> jax.Array:
+    """IEEE-754 f32 -> u32 keys with the same total order (NaNs sort high)."""
+    u = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    neg = (u >> 31) == 1
+    return jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
 
-    Static-shape friendly: pads masked-out entries with +inf, sorts, and
-    averages the two middle order statistics (equal for odd counts).
-    Returns NaN where the mask is empty.
+
+def _u32_to_f32(u: jax.Array) -> jax.Array:
+    neg = (u >> 31) == 0  # originally negative -> sign bit now clear
+    raw = jnp.where(neg, ~u, u & jnp.uint32(0x7FFFFFFF))
+    return jax.lax.bitcast_convert_type(raw, jnp.float32)
+
+
+def _kth_smallest_key(keys: jax.Array, mask: jax.Array, k: jax.Array,
+                      axis: int) -> jax.Array:
+    """k-th smallest (0-based) masked key along ``axis`` via radix descent.
+
+    ``k`` has the shape of ``keys`` with ``axis`` removed.  Undefined when a
+    slice has fewer than k+1 masked elements (callers guard with the count).
     """
+    prefix = jnp.zeros_like(k, dtype=jnp.uint32)
+    kk = k.astype(jnp.int32)
+    for b in range(31, -1, -1):
+        bit = np.uint32(1 << b)
+        above = np.uint32((0xFFFFFFFF << (b + 1)) & 0xFFFFFFFF) if b < 31 else np.uint32(0)
+        live = mask & ((keys & above) == jnp.expand_dims(prefix & above, axis))
+        zero_here = (keys & bit) == 0
+        cnt0 = jnp.sum(live & zero_here, axis=axis).astype(jnp.int32)
+        take1 = kk >= cnt0
+        kk = jnp.where(take1, kk - cnt0, kk)
+        prefix = jnp.where(take1, prefix | bit, prefix)
+    return prefix
+
+
+def _masked_median_select(x: jax.Array, mask: jax.Array, axis: int) -> jax.Array:
+    keys = _sortable_u32(x)
+    n = jnp.sum(mask, axis=axis).astype(jnp.int32)
+    k_lo = jnp.maximum((n - 1) // 2, 0)
+    k_hi = jnp.maximum(n // 2, 0)
+    lo = _u32_to_f32(_kth_smallest_key(keys, mask, k_lo, axis))
+    hi = _u32_to_f32(_kth_smallest_key(keys, mask, k_hi, axis))
+    med = 0.5 * (lo + hi)
+    return jnp.where(n > 0, med, jnp.nan)
+
+
+def _masked_median_sort(x: jax.Array, mask: jax.Array, axis: int) -> jax.Array:
     x = jnp.where(mask, x, jnp.inf)
     x = jnp.sort(x, axis=axis)
     n = jnp.sum(mask, axis=axis, keepdims=True)
@@ -36,3 +90,35 @@ def masked_median(x: jax.Array, mask: jax.Array, axis: int = -1) -> jax.Array:
     med = 0.5 * (lo + hi)
     med = jnp.where(jnp.squeeze(n, axis) > 0, jnp.squeeze(med, axis), jnp.nan)
     return med
+
+
+def masked_median(
+    x: jax.Array, mask: jax.Array, axis: int = -1, method: Optional[str] = None
+) -> jax.Array:
+    """Median of ``x`` where ``mask`` is True along ``axis``.
+
+    Exact MATLAB semantics (mean of the two middle order statistics for
+    even counts); NaN where the mask is empty.  ``method``: "sort",
+    "select", or None (per-backend choice).
+    """
+    if method is None:
+        method = "select" if use_sort_free() else "sort"
+    axis = axis % x.ndim
+    mask = jnp.broadcast_to(mask, x.shape)
+    if method == "select":
+        return _masked_median_select(x, mask, axis)
+    return _masked_median_sort(x, mask, axis)
+
+
+def median(x: jax.Array, axis: Optional[int] = None, method: Optional[str] = None) -> jax.Array:
+    """Exact median along ``axis`` (None = over all elements)."""
+    if method is None:
+        method = "select" if use_sort_free() else "sort"
+    if method == "sort":
+        return jnp.median(x, axis=axis)
+    if axis is None:
+        x = jnp.ravel(x)
+        axis = 0
+    return _masked_median_select(
+        x, jnp.ones(x.shape, bool), axis % x.ndim
+    )

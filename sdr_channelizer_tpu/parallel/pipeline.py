@@ -50,6 +50,7 @@ from jax.sharding import PartitionSpec as P
 from sdr_channelizer_tpu.config import PdwConfig
 from sdr_channelizer_tpu.dsp import channelizer as chmod
 from sdr_channelizer_tpu.dsp import pdw as pdwmod
+from sdr_channelizer_tpu.ops import medians
 from sdr_channelizer_tpu.dsp.pdw import PdwBatch
 from sdr_channelizer_tpu.parallel.mesh import CHAN_AXIS, TIME_AXIS
 
@@ -194,7 +195,7 @@ class ShardedPipeline:
                 in_specs=P(TIME_AXIS), out_specs=P(TIME_AXIS, CHAN_AXIS),
                 check_vma=False,
             )(x)
-            nf = jnp.median(jnp.abs(y), axis=0)  # global per-band median
+            nf = medians.median(jnp.abs(y), axis=0)  # global per-band median
             batch = jax.shard_map(
                 pdw_local, mesh=self.mesh,
                 in_specs=(P(TIME_AXIS, CHAN_AXIS), P(CHAN_AXIS)),
