@@ -282,6 +282,28 @@ def cmd_track(args) -> int:
     return 0
 
 
+def cmd_txrx(args) -> int:
+    """tx_rx_pulses parity: timed pulse bursts through the loopback channel,
+    both sides written as .iq."""
+    from sdr_channelizer_tpu.capture.txrx import TxRxSpec, run_txrx
+
+    spec = TxRxSpec(
+        sample_rate_sps=args.rate_msps * 1e6,
+        chip_width_sec=args.chip_width_sec,
+        pri_sec=args.pri_sec,
+        duration_sec=args.duration_sec,
+        barker13=args.barker13,
+        frequency_hz=args.freq_mhz * 1e6,
+        delay_samples=args.delay_samples,
+        attenuation_db=args.attenuation_db,
+        noise_std=args.noise_std,
+    )
+    tx_path, rx_path = run_txrx(spec, args.out_dir)
+    print(tx_path)
+    print(rx_path)
+    return 0
+
+
 def cmd_spectrogram(args) -> int:
     import jax.numpy as jnp
 
@@ -409,6 +431,22 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--scan-phase-sec", type=float, default=0.1)
     p.add_argument("--scan-curvature", type=float, default=2000.0)
     p.set_defaults(fn=cmd_track)
+
+    p = sub.add_parser("txrx", help="pulsed TX/RX loopback (emulated channel)")
+    p.add_argument("freq_mhz", type=float)
+    p.add_argument("bw_mhz", type=float)
+    p.add_argument("rate_msps", type=float)
+    p.add_argument("gain_db", type=float)
+    p.add_argument("dwell_sec", type=float)
+    p.add_argument("duration_sec", type=float)
+    p.add_argument("chip_width_sec", type=float)
+    p.add_argument("pri_sec", type=float)
+    p.add_argument("--barker13", action="store_true")
+    p.add_argument("--delay-samples", type=int, default=100)
+    p.add_argument("--attenuation-db", type=float, default=20.0)
+    p.add_argument("--noise-std", type=float, default=1e-3)
+    p.add_argument("--out-dir", default=".")
+    p.set_defaults(fn=cmd_txrx)
 
     p = sub.add_parser("spectrogram", help="STFT power PNG per capture")
     p.add_argument("files", nargs="+")
