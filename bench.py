@@ -7,7 +7,13 @@ channelizer + per-band noise floor + PDW extraction — the compiled
 point is keeping up with a 56 Msps radio (BASELINE.md); ``vs_baseline`` is
 the multiple of that floor this sustains.
 
-Prints exactly one JSON line to stdout; progress goes to stderr.
+Synchronization note: on some remote TPU transports ``block_until_ready``
+returns before execution finishes and complex-dtype device-to-host copies
+are unsupported; every timing boundary here therefore fetches one float32
+scalar derived from the outputs, which serializes behind all queued device
+work on the single compute stream.
+
+Prints exactly one JSON line to stdout; diagnostics go to stderr.
 """
 
 from __future__ import annotations
@@ -20,13 +26,59 @@ import time
 import numpy as np
 
 
+def _sync(tree) -> float:
+    """Force completion; returns a probe value (also defeats DCE)."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "dtype")]
+    jax.block_until_ready(leaves)
+    leaf = leaves[0]
+    return float(
+        np.asarray(jax.jit(lambda v: jnp.ravel(v)[:1].real.astype(jnp.float32))(leaf))[0]
+    )
+
+
+def _make_capture(n: int, bands: int) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    fs = bands * 1e6
+    t = np.arange(n)
+    iq = (0.001 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))).astype(
+        np.complex64
+    )
+    for k, (f0, pw, pri) in enumerate([(1.3e6, 100e-6, 1e-3), (-7.6e6, 50e-6, 0.7e-3)]):
+        tone = np.exp(2j * np.pi * f0 / fs * t).astype(np.complex64)
+        pw_n, pri_n = int(pw * fs), int(pri * fs)
+        for s in range(137 + k * 1000, n - pw_n, pri_n):
+            iq[s : s + pw_n] = tone[s : s + pw_n]
+    return iq
+
+
+def _time_fn(fn, x, iters: int, warmup: int = 1) -> float:
+    """Seconds per call, sync-fenced with scalar fetches."""
+    for _ in range(warmup):
+        out = fn(x)
+    _sync(out)
+    t_fence0 = time.perf_counter()
+    _sync(out)  # measure the fetch latency itself (tunnel round-trip)
+    fence = time.perf_counter() - t_fence0
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(x)
+    _sync(out)
+    dt = time.perf_counter() - t0 - fence
+    return max(dt, 1e-9) / iters
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--bands", type=int, default=64)
     ap.add_argument("--frames", type=int, default=262144,
                     help="channelizer frames per step (samples = frames*bands)")
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--stages", action="store_true",
+                    help="also time channelize / noise-floor / pdw separately")
     args = ap.parse_args()
 
     import jax
@@ -42,35 +94,39 @@ def main() -> None:
         args.bands,
         pdw_cfg=PdwConfig.channelized(max_pulses=512, max_pulse_samples=1024),
     )
+    x = jax.device_put(_make_capture(n, args.bands), dev)
 
-    rng = np.random.default_rng(0)
-    t = np.arange(n)
-    fs = args.bands * 1e6
-    iq = (0.001 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))).astype(
-        np.complex64
-    )
-    # A handful of real pulses so the PDW stage does representative work.
-    for k, (f0, pw, pri) in enumerate([(1.3e6, 100e-6, 1e-3), (-7.6e6, 50e-6, 0.7e-3)]):
-        tone = np.exp(2j * np.pi * f0 / fs * t).astype(np.complex64)
-        pw_n, pri_n = int(pw * fs), int(pri * fs)
-        for s in range(137 + k * 1000, n - pw_n, pri_n):
-            iq[s : s + pw_n] = tone[s : s + pw_n]
-    x = jax.device_put(iq, dev)
+    if args.stages:
+        import jax.numpy as jnp
 
-    for _ in range(args.warmup):
-        out = pipe.step(x)
-    jax.block_until_ready(out)
+        from sdr_channelizer_tpu.dsp.channelizer import channelize
+        from sdr_channelizer_tpu.dsp import pdw as pdwmod
+        from sdr_channelizer_tpu.ops import medians
 
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = pipe.step(x)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+        f_ch = jax.jit(lambda v: channelize(v, pipe.channelizer))
+        dt = _time_fn(f_ch, x, args.iters)
+        print(f"bench: channelize   {n/dt/1e6:10.1f} Msps  ({dt*1e3:.2f} ms)",
+              file=sys.stderr)
+        y = f_ch(x)
+        f_nf = jax.jit(lambda v: medians.median(jnp.abs(v), axis=0))
+        dt = _time_fn(f_nf, y, args.iters)
+        print(f"bench: noise floor  {n/dt/1e6:10.1f} Msps  ({dt*1e3:.2f} ms)",
+              file=sys.stderr)
+        nf = f_nf(y)
+        f_pdw = jax.jit(
+            lambda v: pdwmod.extract_pdws_channelized(v, pipe.pdw_cfg, noise_floor=nf)
+        )
+        dt = _time_fn(f_pdw, y, args.iters)
+        print(f"bench: pdw extract  {n/dt/1e6:10.1f} Msps  ({dt*1e3:.2f} ms)",
+              file=sys.stderr)
 
-    msps = n * args.iters / dt / 1e6
-    print(
-        f"bench: {args.iters} iters x {n} samples in {dt:.3f}s", file=sys.stderr
-    )
+    t_compile0 = time.perf_counter()
+    dt = _time_fn(pipe.step, x, args.iters)
+    print(f"bench: total incl. compile+warmup {time.perf_counter()-t_compile0:.1f}s",
+          file=sys.stderr)
+
+    msps = n / dt / 1e6
+    print(f"bench: {args.iters} iters, {dt*1e3:.2f} ms/step", file=sys.stderr)
     print(
         json.dumps(
             {
