@@ -262,6 +262,47 @@ def merge_block_batches(batch: PdwBatch, block_len_frames: int) -> PdwBatch:
     )
 
 
+def sharded_extract_pdws(
+    x: jax.Array,
+    cfg: PdwConfig,
+    mesh: jax.sharding.Mesh,
+    halo_samples: Optional[int] = None,
+) -> Tuple[PdwBatch, int]:
+    """Time-sharded **wideband** PDW extraction (``create_pdws.m`` under
+    sharding): full-rate stream split across the time axis, scalar global
+    median noise floor, latch chained across shards, halo-stitched pulses.
+
+    Returns ``(batch, block_len)`` with batch arrays ``(n_time, 1,
+    max_pulses)``; merge with :func:`merge_block_batches` and finalize with
+    ``finalize_pdws``.  Requires a chan axis of size 1.
+    """
+    n_time = mesh.shape[TIME_AXIS]
+    if mesh.shape[CHAN_AXIS] != 1:
+        raise ValueError("wideband sharded extraction uses a (n_time, 1) mesh")
+    n = int(np.shape(x)[-1])
+    if n % n_time:
+        raise ValueError(f"{n} samples not divisible by {n_time} time shards")
+    t_loc = n // n_time
+    halo = min(halo_samples or cfg.max_pulse_samples, t_loc)
+    pdw_local = _build_pdw_local(cfg, n_time, t_loc, halo, m_loc=1)
+    batch_specs = PdwBatch(
+        **{f.name: P(TIME_AXIS, CHAN_AXIS) for f in dataclasses.fields(PdwBatch)}
+    )
+
+    @jax.jit
+    def step(xv):
+        nf = medians.median(jnp.abs(xv))[None]  # scalar -> (1,) channel vector
+        batch = jax.shard_map(
+            pdw_local, mesh=mesh,
+            in_specs=(P(TIME_AXIS, None), P(None)),
+            out_specs=batch_specs,
+            check_vma=False,
+        )(xv[:, None], nf)
+        return batch
+
+    return step(x), t_loc
+
+
 def sharded_channelize(
     x: jax.Array,
     chan: "chmod.Channelizer",

@@ -166,3 +166,39 @@ def test_extract_end_to_end(capture):
     # The 1.02 MHz emitter lands in the 1 MHz band with ~20 kHz offset.
     band1 = pdws["freq"][(pdws["freq"] > 1e9 + 0.9e6) & (pdws["freq"] < 1e9 + 1.1e6)]
     assert len(band1) > 0
+
+
+def test_sharded_wideband_matches_single_device():
+    """Time-sharded full-rate extraction (create_pdws.m under sharding)."""
+    from sdr_channelizer_tpu.dsp.pdw import extract_pdws
+    from sdr_channelizer_tpu.parallel.pipeline import sharded_extract_pdws
+
+    n = 8 * 4096
+    rng = np.random.default_rng(11)
+    t = np.arange(n)
+    iq = (1e-3 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+          ).astype(np.complex64)
+    tone = np.exp(2j * np.pi * 0.113 * t).astype(np.complex64)
+    for s in range(500, n - 700, 3000):  # pulses straddle 4096-sample shards
+        iq[s:s + 700] = tone[s:s + 700]
+    cfg = PdwConfig.wideband(max_pulses=32, max_pulse_samples=1024)
+    batch_ref = extract_pdws(jnp.asarray(iq), cfg)
+
+    mesh = make_mesh(n_time=8, n_chan=1)
+    batch, block_len = sharded_extract_pdws(jnp.asarray(iq), cfg, mesh)
+    from sdr_channelizer_tpu.parallel.pipeline import merge_block_batches
+    merged = merge_block_batches(batch, block_len)
+    assert int(np.asarray(batch.count).sum()) == int(np.asarray(batch_ref.count))
+    ref_cols = _valid_pdws_1d(batch_ref)
+    got_cols = _valid_pdws(merged, 0)
+    for r, g in zip(ref_cols, got_cols):
+        np.testing.assert_array_equal(g, r)
+
+
+def _valid_pdws_1d(batch):
+    v = np.asarray(batch.valid)
+    cols = [np.asarray(f)[v] for f in (
+        batch.toa_idx, batch.te_idx, batch.pw_sec, batch.mag,
+        batch.snr_db, batch.freq_offset_hz, batch.saturated)]
+    order = np.argsort(cols[0], kind="stable")
+    return [c[order] for c in cols]
