@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Scaling-efficiency benchmark: samples/s through the sharded pipeline at
+mesh sizes 1, 2, 4, ... devices (BASELINE.md north-star: >= 80% scaling
+efficiency).
+
+On a machine with one real TPU chip this degenerates to the single-chip
+number; run with ``JAX_PLATFORMS=cpu
+XLA_FLAGS=--xla_force_host_platform_device_count=8`` to validate the
+harness and the collective paths on a virtual mesh (relative CPU scaling is
+not a TPU claim — the harness is what transfers to real multi-chip).
+
+Prints one JSON line per mesh size plus a summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(tree) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "dtype")]
+    jax.block_until_ready(leaves)
+    leaf = leaves[0]
+    np.asarray(jax.jit(lambda v: jnp.ravel(v)[:1].real.astype(jnp.float32))(leaf))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bands", type=int, default=64)
+    ap.add_argument("--frames-per-device", type=int, default=65536)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--chan-split", type=int, default=1,
+                    help="channel-axis size of the mesh (rest goes to time)")
+    args = ap.parse_args()
+
+    import jax
+
+    from sdr_channelizer_tpu.config import PdwConfig
+    from sdr_channelizer_tpu.dsp.channelizer import Channelizer
+    from sdr_channelizer_tpu.parallel import make_mesh
+    from sdr_channelizer_tpu.parallel.pipeline import ShardedPipeline
+
+    n_devices = len(jax.devices())
+    sizes = []
+    d = 1
+    while d <= n_devices:
+        sizes.append(d)
+        d *= 2
+
+    chan = Channelizer.create(args.bands)
+    cfg = PdwConfig.channelized(max_pulses=256, max_pulse_samples=1024)
+    rng = np.random.default_rng(0)
+
+    results = {}
+    for nd in sizes:
+        n_chan = args.chan_split if nd % args.chan_split == 0 and nd >= args.chan_split else 1
+        n_time = nd // n_chan
+        mesh = make_mesh(n_time=n_time, n_chan=n_chan,
+                         devices=jax.devices()[:nd])
+        pipe = ShardedPipeline(mesh, chan, cfg)
+        n = args.bands * args.frames_per_device * n_time
+        x = (0.001 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+             ).astype(np.complex64)
+        out = pipe.step(x)
+        _sync(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = pipe.step(x)
+        _sync(out)
+        dt = (time.perf_counter() - t0) / args.iters
+        msps = n / dt / 1e6
+        results[nd] = msps
+        eff = msps / (results[1] * nd) if 1 in results and nd > 1 else 1.0
+        print(json.dumps({
+            "metric": "sharded_throughput", "devices": nd,
+            "mesh": f"{n_time}x{n_chan}", "value": round(msps, 1),
+            "unit": "Msamples/s", "scaling_efficiency": round(eff, 3),
+        }))
+
+    if len(results) > 1:
+        top = max(results)
+        eff = results[top] / (results[1] * top)
+        print(json.dumps({
+            "metric": "scaling_efficiency", "value": round(eff, 3),
+            "unit": f"1->{top} devices", "vs_baseline": round(eff / 0.8, 2),
+        }))
+    print("done", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
