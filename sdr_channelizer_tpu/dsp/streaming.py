@@ -77,6 +77,30 @@ class Segment:
         if carry.size:
             yield carry
 
+    def read_samples(self, start: int, count: int) -> np.ndarray:
+        """Random-access read of ``count`` normalized samples from segment
+        offset ``start`` (clipped at the segment end; memory-mapped, so only
+        the requested span touches disk)."""
+        out = []
+        pos = 0
+        remaining = count
+        for path, hdr in zip(self.paths, self.headers):
+            n = hdr.num_samples
+            if remaining <= 0:
+                break
+            if pos + n > start:
+                lo = max(start - pos, 0)
+                hi = min(n, lo + remaining)
+                _, samples = iqpacket.read_iq(path)  # mmap-backed
+                out.append(
+                    iqpacket.to_complex(np.asarray(samples[lo:hi]), hdr.bit_width)
+                )
+                remaining -= hi - lo
+            pos += n
+        if not out:
+            return np.zeros(0, np.complex64)
+        return out[0] if len(out) == 1 else np.concatenate(out)
+
 
 @dataclasses.dataclass
 class CaptureSet:
@@ -238,6 +262,108 @@ class StreamingExtractor:
             offsets.append(offset)
 
         return self._finalize(results, offsets, fs, fc, sample_start_time)
+
+    def extract_segment(
+        self,
+        segment: Segment,
+        fc: float = 0.0,
+        noise_floor: Union[str, np.ndarray] = "two_pass",
+        checkpoint_dir: Optional[str] = None,
+    ) -> dict:
+        """Block-random-access extraction over a :class:`Segment`, with
+        optional checkpoint/resume.
+
+        Each ``block_frames``-frame block is processed independently: its
+        FIR history is re-read from the raw samples (frames ``[F-(P-1),
+        F)``), its right halo is channelized alongside it, and its latch
+        entry state is the composition of all previous blocks' stored
+        transfer functions — so a killed job resumes at the first
+        unprocessed block with zero recomputation and bit-identical output
+        (the framework analog of the reference's one-file-per-dwell
+        resumability, SURVEY.md section 5.4).  Checkpoints are one ``.npz``
+        per block keyed by block index plus a ``noise_floor.npz``.
+        """
+        import os
+
+        fs = segment.headers[0].sample_rate_sps
+        t0 = segment.start_time
+        m = self.channelizer.num_bands
+        p = self.channelizer.taps_per_band
+        cfg = self.pdw_cfg
+        halo = self._halo
+        block = self.block_frames
+        n_frames = segment.num_samples // m
+        n_blocks = max((n_frames + block - 1) // block, 1)
+
+        ck = checkpoint_dir
+        if ck:
+            os.makedirs(ck, exist_ok=True)
+
+        def _ck_path(k):
+            return os.path.join(ck, f"block_{k:06d}.npz") if ck else None
+
+        # Noise floor (checkpointed once).
+        if isinstance(noise_floor, str) and noise_floor == "two_pass":
+            nf_path = os.path.join(ck, "noise_floor.npz") if ck else None
+            if nf_path and os.path.exists(nf_path):
+                nf = jnp.asarray(np.load(nf_path)["nf"])
+            else:
+                nf = jnp.asarray(
+                    self.measure_noise_floor(segment.iter_samples(block * m))
+                )
+                if nf_path:
+                    np.savez(nf_path, nf=np.asarray(nf))
+        else:
+            nf = jnp.asarray(noise_floor)
+
+        field_names = ("toa_idx", "te_idx", "pw_sec", "mag", "snr_db",
+                       "freq_offset_hz", "saturated", "valid", "count")
+        results, offsets = [], []
+        entry = jnp.zeros((m,), bool)
+        for k in range(n_blocks):
+            f0 = k * block
+            t_k = min(block, n_frames - f0)
+            path = _ck_path(k)
+            if path and os.path.exists(path):
+                z = np.load(path)
+                batch = pdwmod.PdwBatch(**{n: z[n] for n in field_names})
+                a_blk, b_blk = jnp.asarray(z["a"]), jnp.asarray(z["b"])
+            else:
+                h_k = min(halo, n_frames - f0 - t_k)
+                hist_frames = min(p - 1, f0)
+                raw = segment.read_samples(
+                    (f0 - hist_frames) * m, (hist_frames + t_k + h_k) * m
+                ).reshape(-1, m)
+                hist = jnp.zeros((p, m), jnp.complex64)
+                if hist_frames:
+                    hist = hist.at[p - hist_frames:].set(raw[:hist_frames])
+                from sdr_channelizer_tpu.dsp.channelizer import (
+                    _fir_branches, dft_matrix, resolve_method,
+                )
+                u = _fir_branches(jnp.asarray(raw[hist_frames:]), hist,
+                                  jnp.asarray(self.channelizer.taps_rev))
+                if resolve_method("auto") == "dft":
+                    y = u @ jnp.asarray(dft_matrix(m, shifted=True))
+                else:
+                    y = jnp.fft.fftshift(jnp.fft.fft(u, axis=-1), axes=-1)
+                mag, ph, sat = pdwmod._prep_streams(y, cfg.saturation_level)
+                if h_k < 1:  # capture ends at this block: +inf pad
+                    mag = jnp.concatenate([mag, jnp.full((1, m), jnp.inf, mag.dtype)])
+                    ph = jnp.concatenate([ph, jnp.zeros((1, m), ph.dtype)])
+                    sat = jnp.concatenate([sat, jnp.zeros((1, m), bool)])
+                batch, a_blk, b_blk = self._detect_block(
+                    mag, ph, sat, nf, entry, own_len=t_k
+                )
+                batch = jax.tree.map(np.asarray, batch)
+                if path:
+                    np.savez(
+                        path, a=np.asarray(a_blk), b=np.asarray(b_blk),
+                        **{n: getattr(batch, n) for n in field_names},
+                    )
+            entry = jnp.where(entry, jnp.asarray(b_blk), jnp.asarray(a_blk))
+            results.append(batch)
+            offsets.append(f0)
+        return self._finalize(results, offsets, fs, fc, t0)
 
     def _finalize(self, results, offsets, fs, fc, sample_start_time) -> dict:
         m = self.channelizer.num_bands

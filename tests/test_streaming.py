@@ -116,3 +116,68 @@ def test_streaming_first_block_mode(capture):
 
     got = ext.extract(blocks, fs=FS, noise_floor="first_block")
     assert len(got["toa"]) > 10
+
+
+def test_extract_segment_checkpoint_resume(tmp_path, capture, reference_pdws):
+    """Segment extraction with checkpoints: interrupted run resumes at the
+    first unprocessed block and the merged result is bit-identical to the
+    single-shot pipeline."""
+    from sdr_channelizer_tpu.io import iqpacket
+
+    # write the capture as 3 contiguous dwell files
+    n = len(capture)
+    chunk = n // 3
+    for k in range(3):
+        part = capture[k * chunk:(k + 1) * chunk] if k < 2 else capture[2 * chunk:]
+        hdr = iqpacket.IqHeader(
+            frequency_hz=5e8, bandwidth_hz=FS, sample_rate_sps=FS, rx_gain_db=0,
+            num_samples=len(part), bit_width=16,
+            sample_start_time=50.0 + k * chunk / FS,
+        )
+        iqpacket.write_iq(tmp_path / f"d{k}.iq", hdr, iqpacket.from_complex(part, 16))
+    # re-read: quantization means ground truth = requantized capture
+    cs = CaptureSet.from_dir(str(tmp_path))
+    assert len(cs.segments) == 1
+    seg = cs.segments[0]
+    requant = seg.read_samples(0, seg.num_samples)
+
+    chan = Channelizer.create(M)
+    cfg = PdwConfig.channelized(max_pulses=128, max_pulse_samples=1024)
+    y_ref = channelize(jnp.asarray(requant), chan)
+    ref = finalize_pdws(
+        extract_pdws_channelized(y_ref, cfg), fs=FS / M, fc=5e8,
+        sample_start_time=50.0, bin_offsets_hz=chan.center_frequencies(FS),
+    )
+
+    ext = StreamingExtractor(chan, cfg, block_frames=1500)
+    ck = tmp_path / "ck"
+
+    # "interrupted" first run: process then delete the tail checkpoints
+    full = ext.extract_segment(seg, fc=5e8, checkpoint_dir=str(ck))
+    blocks = sorted(ck.glob("block_*.npz"))
+    assert len(blocks) >= 3
+    for b in blocks[len(blocks) // 2:]:
+        b.unlink()
+
+    resumed = ext.extract_segment(seg, fc=5e8, checkpoint_dir=str(ck))
+    for key in ref:
+        np.testing.assert_array_equal(resumed[key], full[key])
+        np.testing.assert_array_equal(resumed[key], ref[key])
+
+
+def test_read_samples_random_access(tmp_path):
+    from sdr_channelizer_tpu.io import iqpacket
+
+    iq = (np.arange(3000) + 1j * np.arange(3000)).astype(np.complex64) / 4096
+    for k in range(3):
+        part = iq[k * 1000:(k + 1) * 1000]
+        hdr = iqpacket.IqHeader(
+            frequency_hz=0, bandwidth_hz=1e6, sample_rate_sps=1e6, rx_gain_db=0,
+            num_samples=1000, bit_width=16, sample_start_time=k * 1e-3,
+        )
+        iqpacket.write_iq(tmp_path / f"f{k}.iq", hdr, iqpacket.from_complex(part, 16))
+    seg = CaptureSet.from_dir(str(tmp_path)).segments[0]
+    whole = seg.read_samples(0, 3000)
+    np.testing.assert_array_equal(seg.read_samples(900, 250), whole[900:1150])
+    np.testing.assert_array_equal(seg.read_samples(2990, 100), whole[2990:])
+    assert seg.read_samples(5000, 10).size == 0
