@@ -171,3 +171,23 @@ def test_prototype_filter_properties():
     H = np.abs(np.fft.rfft(h, 8192 * 4))
     stop = H[w >= 1.0 / 16]
     assert 20 * np.log10(stop.max() / H[0]) < -70.0
+
+
+def test_fine_grained_560_bands():
+    """The reference's fine-grained config: 0.1 MHz bins -> 560 bands at
+    56 Msps (generate_channelized_training_iq.m:95-96)."""
+    from sdr_channelizer_tpu.config import bands_for_bin_width
+
+    m = bands_for_bin_width(56e6, 1e5)
+    assert m == 560
+    chan = chlib.Channelizer.create(m)
+    assert chan.taps_rev.shape == (12, 560)
+    # a tone at a bin center lands in exactly that bin
+    n_frames = 64
+    t = np.arange(m * n_frames)
+    f0 = 37 * 1e5  # bin +37 (0.1 MHz bins)
+    x = np.exp(2j * np.pi * f0 / 56e6 * t).astype(np.complex64)
+    import jax.numpy as jnp
+    y = np.asarray(chlib.channelize(jnp.asarray(x), chan))
+    steady = np.abs(y[20:])
+    assert steady.mean(axis=0).argmax() == m // 2 + 37
