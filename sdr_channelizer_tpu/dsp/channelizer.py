@@ -197,7 +197,10 @@ def _fir_branches(frames: jax.Array, history: jax.Array, taps_rev: jax.Array) ->
     p, m = taps_rev.shape
     del m
     t = frames.shape[-2]
-    ctype = frames.dtype if jnp.issubdtype(frames.dtype, jnp.complexfloating) else jnp.complex64
+    if jnp.issubdtype(frames.dtype, jnp.inexact):
+        ctype = frames.dtype  # complex stays complex; float planes stay float
+    else:
+        ctype = jnp.complex64
     if p > 1:
         padded = jnp.concatenate([history[..., -(p - 1) :, :], frames], axis=-2)
     else:
@@ -213,6 +216,40 @@ def _fir_branches(frames: jax.Array, history: jax.Array, taps_rev: jax.Array) ->
 def _fir_dft(frames: jax.Array, history: jax.Array, taps_rev: jax.Array) -> jax.Array:
     """Branch FIR + FFT channel extraction.  Returns (..., T, M) complex."""
     return jnp.fft.fft(_fir_branches(frames, history, taps_rev), axis=-1)
+
+
+def channelize_planes(
+    xr: jax.Array,
+    xi: jax.Array,
+    chan: Channelizer,
+    shift: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Channelize with no complex dtype anywhere in the graph.
+
+    Some TPU transports lack complex-arithmetic lowering entirely; this path
+    runs the branch FIR on the real/imag float32 planes separately and the
+    DFT as four real MXU matmuls:
+
+        yr = ur @ Wr - ui @ Wi,   yi = ur @ Wi + ui @ Wr
+
+    Numerically identical to ``channelize(..., method="dft")`` (same op
+    order per element).  Inputs ``xr, xi``: 1-D float32 sample planes;
+    returns ``(yr, yi)`` of shape ``(N // M, M)``.
+    """
+    m = chan.num_bands
+    n_frames = xr.shape[-1] // m
+    fr = xr[..., : n_frames * m].reshape(n_frames, m).astype(jnp.float32)
+    fi = xi[..., : n_frames * m].reshape(n_frames, m).astype(jnp.float32)
+    hist = jnp.zeros((chan.taps_per_band, m), jnp.float32)
+    taps = jnp.asarray(chan.taps_rev)
+    ur = _fir_branches(fr, hist, taps)
+    ui = _fir_branches(fi, hist, taps)
+    w = dft_matrix(m, shifted=shift)
+    wr = jnp.asarray(np.real(w).astype(np.float32))
+    wi = jnp.asarray(np.imag(w).astype(np.float32))
+    yr = ur @ wr - ui @ wi
+    yi = ur @ wi + ui @ wr
+    return yr, yi
 
 
 def dft_matrix(num_bands: int, shifted: bool = True, dtype=np.complex64) -> np.ndarray:

@@ -325,6 +325,68 @@ def _prep_streams(iq: jax.Array, saturation_level: float):
     return mag, phase_deg, sat
 
 
+def _prep_streams_planes(yr: jax.Array, yi: jax.Array, saturation_level: float):
+    """Detection streams from real/imag float planes (no complex dtype —
+    for TPU transports without complex lowering; see
+    ``dsp.channelizer.channelize_planes``)."""
+    mag = jnp.sqrt(yr * yr + yi * yi)
+    phase_deg = jnp.rad2deg(jnp.arctan2(yi, yr))
+    sat = (jnp.abs(yr) >= saturation_level) | (jnp.abs(yi) >= saturation_level)
+    return mag, phase_deg, sat
+
+
+def extract_pdws_planes(
+    yr: jax.Array,
+    yi: jax.Array,
+    cfg: PdwConfig,
+    noise_floor: Optional[jax.Array] = None,
+) -> PdwBatch:
+    """Wideband extraction from float planes (complex-free graph)."""
+    mag, phase_deg, sat = _prep_streams_planes(yr, yi, cfg.saturation_level)
+    if noise_floor is None:
+        noise_floor = medians.median(mag)
+    return extract_pdws_core(
+        mag, phase_deg, sat, noise_floor,
+        snr_threshold_db=cfg.snr_threshold_db,
+        trailing_threshold_db=cfg.trailing_threshold_db,
+        saturation_level=cfg.saturation_level,
+        max_pulses=cfg.max_pulses,
+        max_pulse_samples=cfg.max_pulse_samples,
+    )
+
+
+def extract_pdws_channelized_streams(
+    mag: jax.Array,
+    phase_deg: jax.Array,
+    sat: jax.Array,
+    cfg: PdwConfig,
+    noise_floor: Optional[jax.Array] = None,
+) -> PdwBatch:
+    """Per-channel extraction from precomputed (T, M) detection streams."""
+    if noise_floor is None:
+        noise_floor = medians.median(mag, axis=0)
+    core = functools.partial(
+        extract_pdws_core,
+        snr_threshold_db=cfg.snr_threshold_db,
+        trailing_threshold_db=cfg.trailing_threshold_db,
+        saturation_level=cfg.saturation_level,
+        max_pulses=cfg.max_pulses,
+        max_pulse_samples=cfg.max_pulse_samples,
+    )
+    return jax.vmap(core, in_axes=(1, 1, 1, 0))(mag, phase_deg, sat, noise_floor)
+
+
+def extract_pdws_channelized_planes(
+    yr: jax.Array,
+    yi: jax.Array,
+    cfg: PdwConfig,
+    noise_floor: Optional[jax.Array] = None,
+) -> PdwBatch:
+    """Per-channel extraction from (T, M) float planes (complex-free)."""
+    mag, phase_deg, sat = _prep_streams_planes(yr, yi, cfg.saturation_level)
+    return extract_pdws_channelized_streams(mag, phase_deg, sat, cfg, noise_floor)
+
+
 def extract_pdws(
     iq: jax.Array,
     cfg: PdwConfig,

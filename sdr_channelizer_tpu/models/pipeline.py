@@ -55,11 +55,55 @@ class ChannelizerPipeline:
         batch = pdwmod.extract_pdws_channelized(y, self.pdw_cfg, noise_floor=nf)
         return y, nf, batch
 
+    def forward_planes(
+        self, xr: jax.Array, xi: jax.Array
+    ) -> Tuple[jax.Array, jax.Array, jax.Array, PdwBatch]:
+        """Complex-free forward step: float32 sample planes in, channelized
+        planes + noise floor + PDWs out.  Same numbers as :meth:`forward`
+        with the DFT extraction; exists for TPU transports that cannot
+        lower complex arithmetic."""
+        from sdr_channelizer_tpu.dsp.channelizer import channelize_planes
+
+        yr, yi = channelize_planes(xr, xi, self.channelizer)
+        mag, ph, sat = pdwmod._prep_streams_planes(
+            yr, yi, self.pdw_cfg.saturation_level
+        )
+        nf = medians.median(mag, axis=0)
+        batch = pdwmod.extract_pdws_channelized_streams(
+            mag, ph, sat, self.pdw_cfg, noise_floor=nf
+        )
+        return yr, yi, nf, batch
+
     def __post_init__(self):
         self._jit_forward = jax.jit(self.forward)
+        self._jit_forward_planes = jax.jit(self.forward_planes)
 
     def step(self, x: jax.Array) -> Tuple[jax.Array, jax.Array, PdwBatch]:
         return self._jit_forward(x)
+
+    def step_planes(self, xr, xi):
+        return self._jit_forward_planes(xr, xi)
+
+    def extract_planes(
+        self,
+        iq: np.ndarray,
+        fs: float,
+        fc: float = 0.0,
+        sample_start_time: float = 0.0,
+    ) -> dict:
+        """Host complex capture -> host PDW dict via the complex-free graph
+        (planes split on the host)."""
+        xr = np.ascontiguousarray(np.real(iq), np.float32)
+        xi = np.ascontiguousarray(np.imag(iq), np.float32)
+        _, _, _, batch = self.step_planes(xr, xi)
+        m = self.channelizer.num_bands
+        return pdwmod.finalize_pdws(
+            batch,
+            fs=fs / m,
+            fc=fc,
+            sample_start_time=sample_start_time,
+            bin_offsets_hz=self.channelizer.center_frequencies(fs),
+        )
 
     def extract(
         self,
