@@ -165,6 +165,14 @@ def cmd_channelize(args) -> int:
             waterfall_png(png, np.abs(y), fs, meta.get("fc", 0.0),
                           title=os.path.basename(path))
             print(png)
+        if args.frames_dir:
+            from sdr_channelizer_tpu.viz import waterfall_window_pngs
+
+            for p in waterfall_window_pngs(
+                args.frames_dir, iq[:n], fs, m, meta.get("fc", 0.0),
+                window_sec=args.frame_window_sec, limit=args.frame_limit,
+            ):
+                print(p)
     return 0
 
 
@@ -404,6 +412,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--out", default=None)
     p.add_argument("--out-dir", default=None)
     p.add_argument("--png", default=None, const="auto", nargs="?")
+    p.add_argument("--frames-dir", default=None,
+                   help="write a waterfall PNG sequence (video parity)")
+    p.add_argument("--frame-window-sec", type=float, default=5e-3)
+    p.add_argument("--frame-limit", type=int, default=None)
     p.set_defaults(fn=cmd_channelize)
 
     p = sub.add_parser("pdw", help="extract pulse descriptor words")

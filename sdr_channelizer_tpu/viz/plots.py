@@ -66,6 +66,44 @@ def waterfall_png(
     plt.close(fig)
 
 
+def waterfall_window_pngs(
+    out_dir,
+    iq: np.ndarray,
+    fs: float,
+    num_bands: int,
+    fc: float = 0.0,
+    window_sec: float = 5e-3,
+    step_samples: Optional[int] = None,
+    limit: Optional[int] = None,
+) -> list:
+    """The reference's waterfall *video* as a PNG sequence.
+
+    ``channelizer_example.m:33-75`` channelizes 5 ms windows stepped by
+    ``100 * numBands`` samples and renders each as a video frame; here each
+    window becomes one PNG (``frame_%05d.png``).  Returns the paths.
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    from sdr_channelizer_tpu.dsp.channelizer import Channelizer, channelize
+
+    os.makedirs(out_dir, exist_ok=True)
+    chan = Channelizer.create(num_bands)
+    win = int(window_sec * fs) // num_bands * num_bands
+    step = step_samples if step_samples is not None else 100 * num_bands
+    paths = []
+    starts = range(0, max(len(iq) - win, 0) + 1, step)
+    for k, s in enumerate(starts):
+        if limit is not None and k >= limit:
+            break
+        y = np.abs(np.asarray(channelize(jnp.asarray(iq[s : s + win]), chan)))
+        p = os.path.join(out_dir, f"frame_{k:05d}.png")
+        waterfall_png(p, y, fs, fc, title=f"t = {s / fs * 1e3:.2f} ms")
+        paths.append(p)
+    return paths
+
+
 def pdw_plot_png(path, pdws: dict, title: Optional[str] = None) -> None:
     plt = _plt()
     t = np.asarray(pdws["toa"])

@@ -126,3 +126,13 @@ def test_track_cmd(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "pulses=" in out
+
+
+def test_channelize_frames_sequence(capture_file, tmp_path):
+    frames = tmp_path / "frames"
+    rc = main(["channelize", str(capture_file), "--bands", "8",
+               "--out", str(tmp_path / "c.npz"),
+               "--frames-dir", str(frames), "--frame-window-sec", "0.001",
+               "--frame-limit", "3"])
+    assert rc == 0
+    assert len(list(frames.glob("frame_*.png"))) == 3
