@@ -150,6 +150,161 @@ def _pallas_fir_dft(
     return yr, yi
 
 
+def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
+                    mag_ref, ph_ref, sat_ref, buf_r, buf_i, sems,
+                    *, block_frames: int, taps_per_band: int,
+                    scale: float, sat_level: float):
+    """Fused channelize + detection-stream kernel: int16 (or f32) planes in;
+    magnitude, phase (degrees), and saturation-mask blocks out.
+
+    Fuses the dequant (``x * 2^-(bw-1)``), branch FIR, DFT matmuls, and the
+    ``_prep_streams`` math (|y|, angle in degrees, |Re|,|Im| >= level) of
+    the PDW front-end into one pass — the capture is read from HBM exactly
+    once (SURVEY.md section 7 step 3).
+    """
+    t_blk = block_frames
+    p = taps_per_band
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    win = t_blk + p - 1
+
+    def window_dma(slot, blk_idx):
+        return (
+            pltpu.make_async_copy(
+                xr_ref.at[pl.ds(blk_idx * t_blk, win), :],
+                buf_r.at[slot], sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                xi_ref.at[pl.ds(blk_idx * t_blk, win), :],
+                buf_i.at[slot], sems.at[slot, 1],
+            ),
+        )
+
+    slot = jax.lax.rem(i, 2)
+    next_slot = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i == 0)
+    def _():
+        for dma in window_dma(slot, i):
+            dma.start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        for dma in window_dma(next_slot, i + 1):
+            dma.start()
+
+    for dma in window_dma(slot, i):
+        dma.wait()
+
+    m = xr_ref.shape[1]
+    ur = jnp.zeros((t_blk, m), jnp.float32)
+    ui = jnp.zeros((t_blk, m), jnp.float32)
+    for pp in range(p):
+        tap = taps_ref[pp, :]
+        sl = slice(p - 1 - pp, p - 1 - pp + t_blk)
+        ur = ur + tap * (buf_r[slot, sl, :].astype(jnp.float32) * scale)
+        ui = ui + tap * (buf_i[slot, sl, :].astype(jnp.float32) * scale)
+
+    wr = wr_ref[...]
+    wi = wi_ref[...]
+    yr = (jnp.dot(ur, wr, preferred_element_type=jnp.float32)
+          - jnp.dot(ui, wi, preferred_element_type=jnp.float32))
+    yi = (jnp.dot(ur, wi, preferred_element_type=jnp.float32)
+          + jnp.dot(ui, wr, preferred_element_type=jnp.float32))
+    mag_ref[...] = jnp.sqrt(yr * yr + yi * yi)
+    ph_ref[...] = jnp.arctan2(yi, yr) * jnp.float32(180.0 / np.pi)
+    sat_ref[...] = jnp.where(
+        (jnp.abs(yr) >= sat_level) | (jnp.abs(yi) >= sat_level),
+        jnp.float32(1.0), jnp.float32(0.0),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_frames", "scale", "sat_level", "interpret"),
+)
+def _pallas_fir_dft_streams(
+    xr, xi, taps, wr, wi, *,
+    block_frames: int, scale: float, sat_level: float, interpret: bool = False,
+):
+    p, m = taps.shape
+    n_frames = xr.shape[0] - (p - 1)
+    assert n_frames % block_frames == 0
+    n_blocks = n_frames // block_frames
+    win = block_frames + p - 1
+
+    kernel = functools.partial(
+        _streams_kernel, block_frames=block_frames, taps_per_band=p,
+        scale=scale, sat_level=sat_level,
+    )
+    out_block = pl.BlockSpec((block_frames, m), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_block, out_block, out_block],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_frames, m), jnp.float32),
+            jax.ShapeDtypeStruct((n_frames, m), jnp.float32),
+            jax.ShapeDtypeStruct((n_frames, m), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, win, m), xr.dtype),
+            pltpu.VMEM((2, win, m), xi.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(xr, xi, taps, wr, wi)
+
+
+def pallas_channelize_streams(
+    xr: jax.Array,
+    xi: jax.Array,
+    taps_rev: np.ndarray,
+    bit_width: int = 0,
+    sat_level: float = 0.9999,
+    shift: bool = True,
+    block_frames: int = 1024,
+    interpret: bool = False,
+):
+    """Capture planes -> (mag, phase_deg, sat) detection streams, fused.
+
+    ``xr, xi``: 1-D planes, either int16 raw payloads (set ``bit_width`` for
+    in-kernel dequant by ``2^-(bw-1)``) or already-normalized float32
+    (``bit_width=0``).  Returns three ``(N // M, M)`` float32 arrays ready
+    for ``dsp.pdw.extract_pdws_channelized_streams`` (``sat`` is a 0/1
+    mask).
+    """
+    p, m = taps_rev.shape
+    n_frames = xr.shape[-1] // m
+    scale = float(2.0 ** -(bit_width - 1)) if bit_width else 1.0
+
+    def prep(v):
+        fr = v[..., : n_frames * m].reshape(n_frames, m)
+        n_pad = (-n_frames) % block_frames
+        return jnp.pad(fr, ((p - 1, n_pad), (0, 0)))
+
+    from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
+
+    w = dft_matrix(m, shifted=shift)
+    mag, ph, sat = _pallas_fir_dft_streams(
+        prep(xr), prep(xi),
+        jnp.asarray(taps_rev, jnp.float32),
+        jnp.asarray(np.real(w), jnp.float32),
+        jnp.asarray(np.imag(w), jnp.float32),
+        block_frames=block_frames, scale=scale, sat_level=float(sat_level),
+        interpret=interpret,
+    )
+    return mag[:n_frames], ph[:n_frames], sat[:n_frames]
+
+
 def pallas_channelize(
     x: jax.Array,
     taps_rev: np.ndarray,
