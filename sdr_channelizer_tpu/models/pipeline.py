@@ -74,15 +74,63 @@ class ChannelizerPipeline:
         )
         return yr, yi, nf, batch
 
+    def forward_fused(
+        self, xr: jax.Array, xi: jax.Array, bit_width: int = 0
+    ) -> Tuple[jax.Array, jax.Array, PdwBatch]:
+        """Fused-kernel forward step: raw int16 (or f32) planes ->
+        (noise_floor, mag, PdwBatch) with the dequant + channelizer + stream
+        prep in one Pallas pass (``ops/pallas/channelizer_kernel.py``)."""
+        from sdr_channelizer_tpu.ops.pallas.channelizer_kernel import (
+            pallas_channelize_streams,
+        )
+
+        mag, ph, sat = pallas_channelize_streams(
+            xr, xi, self.channelizer.taps_rev, bit_width=bit_width,
+            sat_level=self.pdw_cfg.saturation_level,
+        )
+        nf = medians.median(mag, axis=0)
+        batch = pdwmod.extract_pdws_channelized_streams(
+            mag, ph, sat > 0.5, self.pdw_cfg, noise_floor=nf
+        )
+        return nf, mag, batch
+
     def __post_init__(self):
         self._jit_forward = jax.jit(self.forward)
         self._jit_forward_planes = jax.jit(self.forward_planes)
+        self._jit_forward_fused = jax.jit(
+            self.forward_fused, static_argnames=("bit_width",)
+        )
 
     def step(self, x: jax.Array) -> Tuple[jax.Array, jax.Array, PdwBatch]:
         return self._jit_forward(x)
 
     def step_planes(self, xr, xi):
         return self._jit_forward_planes(xr, xi)
+
+    def step_fused(self, xr, xi, bit_width: int = 0):
+        return self._jit_forward_fused(xr, xi, bit_width=bit_width)
+
+    def extract_fused(
+        self,
+        samples: np.ndarray,
+        bit_width: int,
+        fs: float,
+        fc: float = 0.0,
+        sample_start_time: float = 0.0,
+    ) -> dict:
+        """Raw (N, 2) integer payload -> host PDW dict via the fused kernel
+        (the zero-copy ingest path: int16 payload straight to the TPU)."""
+        xr = np.ascontiguousarray(samples[:, 0])
+        xi = np.ascontiguousarray(samples[:, 1])
+        _, _, batch = self.step_fused(xr, xi, bit_width=bit_width)
+        m = self.channelizer.num_bands
+        return pdwmod.finalize_pdws(
+            batch,
+            fs=fs / m,
+            fc=fc,
+            sample_start_time=sample_start_time,
+            bin_offsets_hz=self.channelizer.center_frequencies(fs),
+        )
 
     def extract_planes(
         self,

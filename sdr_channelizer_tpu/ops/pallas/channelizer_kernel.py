@@ -285,6 +285,8 @@ def pallas_channelize_streams(
     p, m = taps_rev.shape
     n_frames = xr.shape[-1] // m
     scale = float(2.0 ** -(bit_width - 1)) if bit_width else 1.0
+    # Pallas TPU kernels only interpret on CPU backends.
+    interpret = interpret or jax.devices()[0].platform == "cpu"
 
     def prep(v):
         fr = v[..., : n_frames * m].reshape(n_frames, m)
@@ -322,6 +324,7 @@ def pallas_channelize(
     p, m = taps_rev.shape
     n_frames = x.shape[-1] // m
     frames = x[..., : n_frames * m].reshape(n_frames, m)
+    interpret = interpret or jax.devices()[0].platform == "cpu"
 
     n_pad = (-n_frames) % block_frames
     xr = jnp.real(frames).astype(jnp.float32)

@@ -43,3 +43,21 @@ def test_pipeline_planes_matches_complex():
     np.testing.assert_allclose(got["pw"], ref["pw"], rtol=1e-6)
     np.testing.assert_allclose(got["snr"], ref["snr"], rtol=0, atol=1e-3)
     np.testing.assert_allclose(got["freq"], ref["freq"], rtol=0, atol=50.0)
+
+
+def test_pipeline_fused_matches_complex():
+    from sdr_channelizer_tpu.io import iqpacket
+
+    iq = _capture()
+    n = len(iq) // 8 * 8
+    samples = iqpacket.from_complex(iq[:n], 12)
+    iq_q = iqpacket.to_complex(samples, 12)
+    cfg = PdwConfig.channelized(max_pulses=64, max_pulse_samples=512)
+    pipe = ChannelizerPipeline.create(8, pdw_cfg=cfg)
+    ref = pipe.extract(jnp.asarray(iq_q), fs=8e6, fc=1e9, sample_start_time=9.0)
+    got = pipe.extract_fused(samples, bit_width=12, fs=8e6, fc=1e9,
+                             sample_start_time=9.0)
+    assert len(got["toa"]) == len(ref["toa"])
+    np.testing.assert_allclose(got["toa"], ref["toa"], rtol=0, atol=1e-9)
+    np.testing.assert_allclose(got["snr"], ref["snr"], rtol=0, atol=1e-2)
+    np.testing.assert_allclose(got["freq"], ref["freq"], rtol=0, atol=100.0)
