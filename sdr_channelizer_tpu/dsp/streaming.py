@@ -141,9 +141,14 @@ class CaptureSet:
 
 @dataclasses.dataclass
 class StreamingExtractor:
-    """Blockwise channelize -> PDW over one contiguous sample stream."""
+    """Blockwise channelize -> PDW over one contiguous sample stream.
 
-    channelizer: Channelizer
+    With ``channelizer=None`` the extractor runs **wideband** (full-rate,
+    ``create_pdws.m`` semantics): the stream is treated as one channel, no
+    decimation, scalar whole-capture median noise floor.
+    """
+
+    channelizer: Optional[Channelizer]
     pdw_cfg: PdwConfig
     block_frames: int = 65536
     halo_frames: Optional[int] = None  # default: pdw_cfg.max_pulse_samples
@@ -175,7 +180,13 @@ class StreamingExtractor:
 
     def _channelized_blocks(self, sample_blocks: Iterator[np.ndarray]):
         """Channelize a sample-block stream; yields (T_i, M) complex arrays
-        whose concatenation equals the single-shot channelizer output."""
+        whose concatenation equals the single-shot channelizer output.
+        Wideband mode (no channelizer): identity, one column per stream."""
+        if self.channelizer is None:
+            for block in sample_blocks:
+                if block.size:
+                    yield jnp.asarray(block)[:, None]
+            return
         m = self.channelizer.num_bands
         state = self.channelizer.init_state()
         carry = np.zeros(0, np.complex64)
@@ -287,8 +298,9 @@ class StreamingExtractor:
 
         fs = segment.headers[0].sample_rate_sps
         t0 = segment.start_time
-        m = self.channelizer.num_bands
-        p = self.channelizer.taps_per_band
+        wideband = self.channelizer is None
+        m = 1 if wideband else self.channelizer.num_bands
+        p = 1 if wideband else self.channelizer.taps_per_band
         cfg = self.pdw_cfg
         halo = self._halo
         block = self.block_frames
@@ -334,18 +346,21 @@ class StreamingExtractor:
                 raw = segment.read_samples(
                     (f0 - hist_frames) * m, (hist_frames + t_k + h_k) * m
                 ).reshape(-1, m)
-                hist = jnp.zeros((p, m), jnp.complex64)
-                if hist_frames:
-                    hist = hist.at[p - hist_frames:].set(raw[:hist_frames])
-                from sdr_channelizer_tpu.dsp.channelizer import (
-                    _fir_branches, dft_matrix, resolve_method,
-                )
-                u = _fir_branches(jnp.asarray(raw[hist_frames:]), hist,
-                                  jnp.asarray(self.channelizer.taps_rev))
-                if resolve_method("auto") == "dft":
-                    y = u @ jnp.asarray(dft_matrix(m, shifted=True))
+                if wideband:
+                    y = jnp.asarray(raw)
                 else:
-                    y = jnp.fft.fftshift(jnp.fft.fft(u, axis=-1), axes=-1)
+                    hist = jnp.zeros((p, m), jnp.complex64)
+                    if hist_frames:
+                        hist = hist.at[p - hist_frames:].set(raw[:hist_frames])
+                    from sdr_channelizer_tpu.dsp.channelizer import (
+                        _fir_branches, dft_matrix, resolve_method,
+                    )
+                    u = _fir_branches(jnp.asarray(raw[hist_frames:]), hist,
+                                      jnp.asarray(self.channelizer.taps_rev))
+                    if resolve_method("auto") == "dft":
+                        y = u @ jnp.asarray(dft_matrix(m, shifted=True))
+                    else:
+                        y = jnp.fft.fftshift(jnp.fft.fft(u, axis=-1), axes=-1)
                 mag, ph, sat = pdwmod._prep_streams(y, cfg.saturation_level)
                 if h_k < 1:  # capture ends at this block: +inf pad
                     mag = jnp.concatenate([mag, jnp.full((1, m), jnp.inf, mag.dtype)])
@@ -366,7 +381,8 @@ class StreamingExtractor:
         return self._finalize(results, offsets, fs, fc, t0)
 
     def _finalize(self, results, offsets, fs, fc, sample_start_time) -> dict:
-        m = self.channelizer.num_bands
+        wideband = self.channelizer is None
+        m = 1 if wideband else self.channelizer.num_bands
         fields = {}
         for name in ("toa_idx", "te_idx", "pw_sec", "mag", "snr_db",
                      "freq_offset_hz", "saturated", "valid", "count"):
@@ -386,5 +402,6 @@ class StreamingExtractor:
             fs=fs / m,
             fc=fc,
             sample_start_time=sample_start_time,
-            bin_offsets_hz=self.channelizer.center_frequencies(fs),
+            bin_offsets_hz=(None if wideband
+                            else self.channelizer.center_frequencies(fs)),
         )

@@ -181,3 +181,41 @@ def test_read_samples_random_access(tmp_path):
     np.testing.assert_array_equal(seg.read_samples(900, 250), whole[900:1150])
     np.testing.assert_array_equal(seg.read_samples(2990, 100), whole[2990:])
     assert seg.read_samples(5000, 10).size == 0
+
+
+def test_wideband_segment_extraction(tmp_path):
+    """channelizer=None: full-rate create_pdws.m semantics over dwell files,
+    equal to the in-memory wideband pipeline."""
+    from sdr_channelizer_tpu.io import iqpacket
+    from sdr_channelizer_tpu.models import WidebandPdwPipeline
+
+    # Sparse pulses: the wideband median floor needs a low duty cycle.
+    rng = np.random.default_rng(9)
+    n = 4096 * M
+    t = np.arange(n)
+    spec_iq = (1e-3 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+               ).astype(np.complex64)
+    tone = np.exp(2j * np.pi * 0.113 * t).astype(np.complex64)
+    for s0 in range(400, n - 900, 2500):
+        spec_iq[s0:s0 + 800] = tone[s0:s0 + 800]
+    chunk = n // 2
+    for k in range(2):
+        part = spec_iq[k * chunk:(k + 1) * chunk]
+        hdr = iqpacket.IqHeader(
+            frequency_hz=0, bandwidth_hz=FS, sample_rate_sps=FS, rx_gain_db=0,
+            num_samples=len(part), bit_width=16,
+            sample_start_time=7.0 + k * chunk / FS,
+        )
+        iqpacket.write_iq(tmp_path / f"w{k}.iq", hdr, iqpacket.from_complex(part, 16))
+    seg = CaptureSet.from_dir(str(tmp_path)).segments[0]
+    requant = seg.read_samples(0, seg.num_samples)
+
+    cfg = PdwConfig.wideband(max_pulses=256, max_pulse_samples=4096)
+    ref = WidebandPdwPipeline(pdw_cfg=cfg).extract(
+        jnp.asarray(requant), fs=FS, sample_start_time=7.0)
+
+    ext = StreamingExtractor(None, cfg, block_frames=9000)
+    got = ext.extract_segment(seg)
+    assert len(got["toa"]) == len(ref["toa"]) > 10
+    for key in ("toa", "freq", "pw", "mag", "snr", "sat"):
+        np.testing.assert_array_equal(got[key], ref[key])
