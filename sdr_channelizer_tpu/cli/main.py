@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import sys
 from typing import List, Optional
@@ -195,7 +196,7 @@ def cmd_pdw(args) -> int:
             cfg = PdwConfig.channelized(max_pulses=args.max_pulses,
                                         max_pulse_samples=args.max_pulse_samples)
             if args.threshold_db is not None:
-                cfg = __import__("dataclasses").replace(cfg, snr_threshold_db=args.threshold_db)
+                cfg = dataclasses.replace(cfg, snr_threshold_db=args.threshold_db)
             pipe = ChannelizerPipeline.create(m, pdw_cfg=cfg)
             n = len(iq) // m * m
             pdws = pipe.extract(jnp.asarray(iq[:n]), fs=fs, fc=fc, sample_start_time=t0)
@@ -203,7 +204,7 @@ def cmd_pdw(args) -> int:
             cfg = PdwConfig.wideband(max_pulses=args.max_pulses,
                                      max_pulse_samples=args.max_pulse_samples)
             if args.threshold_db is not None:
-                cfg = __import__("dataclasses").replace(cfg, snr_threshold_db=args.threshold_db)
+                cfg = dataclasses.replace(cfg, snr_threshold_db=args.threshold_db)
             pipe = WidebandPdwPipeline(pdw_cfg=cfg)
             pdws = pipe.extract(jnp.asarray(iq), fs=fs, fc=fc, sample_start_time=t0)
         all_pdws.append(pdws)

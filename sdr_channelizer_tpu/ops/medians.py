@@ -18,7 +18,6 @@ Two exact implementations, selected per backend:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
