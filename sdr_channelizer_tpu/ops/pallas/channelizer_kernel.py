@@ -79,7 +79,7 @@ def _kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref, yr_ref, yi_ref,
     ur = jnp.zeros((t_blk, m), jnp.float32)
     ui = jnp.zeros((t_blk, m), jnp.float32)
     for pp in range(p):
-        tap = taps_ref[pp, :]
+        tap = taps_ref[pp : pp + 1, :]  # (1, m): keep 2-D for Mosaic
         sl = slice(p - 1 - pp, p - 1 - pp + t_blk)
         ur = ur + tap * buf_r[slot, sl, :]
         ui = ui + tap * buf_i[slot, sl, :]
@@ -150,6 +150,48 @@ def _pallas_fir_dft(
     return yr, yi
 
 
+def _atan_poly(z):
+    """Cephes single-precision atan kernel, |z| <= tan(pi/8); ~1e-7 abs err."""
+    s = z * z
+    return ((((8.05374449538e-2 * s - 1.38776856032e-1) * s + 1.99777106478e-1)
+             * s - 3.33329491539e-1) * s * z + z)
+
+
+def _atan2(y, x):
+    """Elementwise atan2 built from compares + the Cephes polynomial.
+
+    Mosaic (Pallas TPU) has no ``atan2`` primitive; this is the standard
+    three-interval range reduction (z, (z-1)/(z+1), 1/z) + quadrant fixup,
+    matching ``jnp.arctan2`` to ~1e-6 rad.  Handles x=y=0 -> 0 and the
+    +/-pi boundaries like the IEEE convention (sign of y).
+    """
+    pi = jnp.float32(np.pi)
+    abs_y = jnp.abs(y)
+    abs_x = jnp.abs(x)
+    # t = atan(abs_y / abs_x) on [0, inf) via three-way reduction.
+    safe_x = jnp.where(abs_x == 0.0, jnp.float32(1.0), abs_x)
+    z = abs_y / safe_x
+    z = jnp.where(abs_x == 0.0, jnp.float32(jnp.inf), z)
+    t_hi = jnp.float32(2.414213562373095)  # tan(3*pi/8)
+    t_lo = jnp.float32(0.4142135623730950)  # tan(pi/8)
+    inv = jnp.where(z > t_hi, 1.0 / jnp.maximum(z, jnp.float32(1e-30)), z)
+    mid = (z - 1.0) / (z + 1.0)
+    arg = jnp.where(z > t_hi, inv, jnp.where(z > t_lo, mid, z))
+    base = _atan_poly(arg)
+    t = jnp.where(
+        z > t_hi, pi / 2 - base,
+        jnp.where(z > t_lo, pi / 4 + base, base),
+    )
+    t = jnp.where(jnp.isinf(z), pi / 2, t)
+    # Quadrants: x >= 0 -> sign(y) * t;  x < 0 -> sign(y) * (pi - t).
+    ang = jnp.where(x < 0.0, pi - t, t)
+    ang = jnp.where(y < 0.0, -ang, ang)
+    # x<0, y==0 -> +pi; origin -> 0 (atan2 conventions)
+    ang = jnp.where((y == 0.0) & (x < 0.0), pi, ang)
+    ang = jnp.where((y == 0.0) & (x == 0.0), jnp.float32(0.0), ang)
+    return ang
+
+
 def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
                     mag_ref, ph_ref, sat_ref, buf_r, buf_i, sems,
                     *, block_frames: int, taps_per_band: int,
@@ -200,7 +242,7 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
     ur = jnp.zeros((t_blk, m), jnp.float32)
     ui = jnp.zeros((t_blk, m), jnp.float32)
     for pp in range(p):
-        tap = taps_ref[pp, :]
+        tap = taps_ref[pp : pp + 1, :]  # (1, m): keep 2-D for Mosaic
         sl = slice(p - 1 - pp, p - 1 - pp + t_blk)
         ur = ur + tap * (buf_r[slot, sl, :].astype(jnp.float32) * scale)
         ui = ui + tap * (buf_i[slot, sl, :].astype(jnp.float32) * scale)
@@ -212,7 +254,7 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
     yi = (jnp.dot(ur, wi, preferred_element_type=jnp.float32)
           + jnp.dot(ui, wr, preferred_element_type=jnp.float32))
     mag_ref[...] = jnp.sqrt(yr * yr + yi * yi)
-    ph_ref[...] = jnp.arctan2(yi, yr) * jnp.float32(180.0 / np.pi)
+    ph_ref[...] = _atan2(yi, yr) * jnp.float32(180.0 / np.pi)
     sat_ref[...] = jnp.where(
         (jnp.abs(yr) >= sat_level) | (jnp.abs(yi) >= sat_level),
         jnp.float32(1.0), jnp.float32(0.0),
