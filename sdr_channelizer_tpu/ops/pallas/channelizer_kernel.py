@@ -150,6 +150,25 @@ def _pallas_fir_dft(
     return yr, yi
 
 
+def _lane_pad(m: int, lanes: int = 128) -> int:
+    """Channel count padded up to the TPU lane width (Mosaic slice rule)."""
+    return max(((m + lanes - 1) // lanes) * lanes, lanes)
+
+
+def _pad_weights(taps_rev: np.ndarray, w: np.ndarray, m_pad: int):
+    """Zero-pad taps (P, M)->(P, M_pad) and the DFT matrix (M, M)->
+    (M_pad, M_pad) (zero rows/cols: padded branches contribute nothing and
+    padded channels read back zero)."""
+    p, m = taps_rev.shape
+    taps_p = np.zeros((p, m_pad), np.float32)
+    taps_p[:, :m] = taps_rev
+    wr = np.zeros((m_pad, m_pad), np.float32)
+    wi = np.zeros((m_pad, m_pad), np.float32)
+    wr[:m, :m] = np.real(w)
+    wi[:m, :m] = np.imag(w)
+    return jnp.asarray(taps_p), jnp.asarray(wr), jnp.asarray(wi)
+
+
 def _atan_poly(z):
     """Cephes single-precision atan kernel, |z| <= tan(pi/8); ~1e-7 abs err."""
     s = z * z
@@ -329,24 +348,24 @@ def pallas_channelize_streams(
     scale = float(2.0 ** -(bit_width - 1)) if bit_width else 1.0
     # Pallas TPU kernels only interpret on CPU backends.
     interpret = interpret or jax.devices()[0].platform == "cpu"
+    # Mosaic requires 128-aligned lane slices: zero-pad the channel axis.
+    m_pad = _lane_pad(m)
 
     def prep(v):
         fr = v[..., : n_frames * m].reshape(n_frames, m)
         n_pad = (-n_frames) % block_frames
-        return jnp.pad(fr, ((p - 1, n_pad), (0, 0)))
+        return jnp.pad(fr, ((p - 1, n_pad), (0, m_pad - m)))
 
     from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
 
     w = dft_matrix(m, shifted=shift)
+    taps_p, wr_p, wi_p = _pad_weights(taps_rev, w, m_pad)
     mag, ph, sat = _pallas_fir_dft_streams(
-        prep(xr), prep(xi),
-        jnp.asarray(taps_rev, jnp.float32),
-        jnp.asarray(np.real(w), jnp.float32),
-        jnp.asarray(np.imag(w), jnp.float32),
+        prep(xr), prep(xi), taps_p, wr_p, wi_p,
         block_frames=block_frames, scale=scale, sat_level=float(sat_level),
         interpret=interpret,
     )
-    return mag[:n_frames], ph[:n_frames], sat[:n_frames]
+    return mag[:n_frames, :m], ph[:n_frames, :m], sat[:n_frames, :m]
 
 
 def pallas_channelize(
@@ -367,22 +386,21 @@ def pallas_channelize(
     n_frames = x.shape[-1] // m
     frames = x[..., : n_frames * m].reshape(n_frames, m)
     interpret = interpret or jax.devices()[0].platform == "cpu"
+    m_pad = _lane_pad(m)
 
     n_pad = (-n_frames) % block_frames
     xr = jnp.real(frames).astype(jnp.float32)
     xi = jnp.imag(frames).astype(jnp.float32)
-    pad = ((p - 1, n_pad), (0, 0))
+    pad = ((p - 1, n_pad), (0, m_pad - m))
     xr = jnp.pad(xr, pad)
     xi = jnp.pad(xi, pad)
 
     w = dft_matrix(m, shifted=shift)
+    taps_p, wr_p, wi_p = _pad_weights(taps_rev, w, m_pad)
     yr, yi = _pallas_fir_dft(
-        xr, xi,
-        jnp.asarray(taps_rev, jnp.float32),
-        jnp.asarray(np.real(w), jnp.float32),
-        jnp.asarray(np.imag(w), jnp.float32),
+        xr, xi, taps_p, wr_p, wi_p,
         block_frames=block_frames,
         interpret=interpret,
     )
     y = jax.lax.complex(yr, yi)
-    return y[:n_frames]
+    return y[:n_frames, :m]
