@@ -88,12 +88,12 @@ def _kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref, yr_ref, yi_ref,
     wr = wr_ref[...]
     wi = wi_ref[...]
     yr_ref[...] = (
-        jnp.dot(ur, wr, preferred_element_type=jnp.float32)
-        - jnp.dot(ui, wi, preferred_element_type=jnp.float32)
+        jnp.dot(ur, wr, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        - jnp.dot(ui, wi, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     )
     yi_ref[...] = (
-        jnp.dot(ur, wi, preferred_element_type=jnp.float32)
-        + jnp.dot(ui, wr, preferred_element_type=jnp.float32)
+        jnp.dot(ur, wi, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        + jnp.dot(ui, wr, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     )
 
 
@@ -268,10 +268,10 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
 
     wr = wr_ref[...]
     wi = wi_ref[...]
-    yr = (jnp.dot(ur, wr, preferred_element_type=jnp.float32)
-          - jnp.dot(ui, wi, preferred_element_type=jnp.float32))
-    yi = (jnp.dot(ur, wi, preferred_element_type=jnp.float32)
-          + jnp.dot(ui, wr, preferred_element_type=jnp.float32))
+    yr = (jnp.dot(ur, wr, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+          - jnp.dot(ui, wi, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST))
+    yi = (jnp.dot(ur, wi, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+          + jnp.dot(ui, wr, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST))
     mag_ref[...] = jnp.sqrt(yr * yr + yi * yi)
     ph_ref[...] = _atan2(yi, yr) * jnp.float32(180.0 / np.pi)
     sat_ref[...] = jnp.where(
