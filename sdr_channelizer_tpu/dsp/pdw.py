@@ -361,10 +361,23 @@ def extract_pdws_channelized_streams(
     sat: jax.Array,
     cfg: PdwConfig,
     noise_floor: Optional[jax.Array] = None,
+    stats: str = "auto",
 ) -> PdwBatch:
-    """Per-channel extraction from precomputed (T, M) detection streams."""
+    """Per-channel extraction from precomputed (T, M) detection streams.
+
+    ``stats``: where the per-pulse median statistics run — ``"xla"`` (the
+    vmapped gather + radix-select path), ``"pallas"`` (the fused
+    ``pulse_stats`` kernel: windows DMA'd once, selection in VMEM — the
+    fast path on real TPUs), or ``"auto"`` (pallas off-CPU).
+    """
     if noise_floor is None:
         noise_floor = medians.median(mag, axis=0)
+    if stats == "auto":
+        stats = "pallas" if medians.use_sort_free() else "xla"
+    if stats == "pallas":
+        return _extract_channelized_pallas_stats(
+            mag, phase_deg, sat, cfg, noise_floor
+        )
     core = functools.partial(
         extract_pdws_core,
         snr_threshold_db=cfg.snr_threshold_db,
@@ -374,6 +387,71 @@ def extract_pdws_channelized_streams(
         max_pulse_samples=cfg.max_pulse_samples,
     )
     return jax.vmap(core, in_axes=(1, 1, 1, 0))(mag, phase_deg, sat, noise_floor)
+
+
+def _extract_channelized_pallas_stats(
+    mag: jax.Array,
+    phase_deg: jax.Array,
+    sat: jax.Array,
+    cfg: PdwConfig,
+    noise_floor: jax.Array,
+) -> PdwBatch:
+    """Channelized extraction with edge detection in XLA and per-pulse
+    statistics in the ``pulse_stats`` Pallas kernel.  Emits the same batch
+    as the XLA path (identical order statistics)."""
+    from sdr_channelizer_tpu.ops.pallas.pulse_stats_kernel import TILE, pulse_stats
+
+    t_len, m = mag.shape
+    max_pulses = cfg.max_pulses
+    w = cfg.max_pulse_samples
+    p_slots = ((max_pulses + TILE - 1) // TILE) * TILE
+
+    lead_thresh = noise_floor * 10.0 ** (cfg.snr_threshold_db / 10.0)
+    if cfg.trailing_threshold_db is None:
+        trail_thresh = lead_thresh
+    else:
+        trail_thresh = noise_floor * 10.0 ** (cfg.trailing_threshold_db / 10.0)
+
+    ge_lead = mag >= lead_thresh[None, :]
+    le_trail = mag <= trail_thresh[None, :]
+    state = hysteresis_scan(ge_lead, le_trail, axis=0)
+    prev = jnp.concatenate([jnp.zeros((1, m), bool), state[:-1]])
+    lead_edge = state & ~prev
+    trail_edge = ~state & prev
+
+    edges_idx = jax.vmap(
+        functools.partial(_edge_indices, max_pulses=p_slots), in_axes=1
+    )
+    toa_idx = edges_idx(lead_edge)   # (M, p_slots), sentinel t_len
+    te_idx = edges_idx(trail_edge)
+    count = jnp.sum(trail_edge, axis=0).astype(jnp.int32)
+    valid = jnp.arange(p_slots)[None, :] < count[:, None]
+
+    # Channel-major streams for the stats kernel.
+    dph = phase_deg[1:] - phase_deg[:-1]
+    dph = jnp.where(dph < -180.0, dph + 360.0, dph)
+    dph = jnp.where(dph > 180.0, dph - 360.0, dph)
+    dph = jnp.concatenate([dph, jnp.zeros((1, m), dph.dtype)])
+    med_mag, med_dph, sat_any = pulse_stats(
+        mag.T, dph.T, sat.astype(jnp.float32).T,
+        toa_idx, te_idx, window=w,
+    )
+
+    snr = 10.0 * jnp.log10(med_mag / noise_floor[:, None])
+    zero = jnp.zeros((), jnp.float32)
+    sl = slice(None), slice(0, max_pulses)
+    valid_s = valid[sl]
+    return PdwBatch(
+        toa_idx=jnp.where(valid_s, toa_idx[sl], -1),
+        te_idx=jnp.where(valid_s, te_idx[sl], -1),
+        pw_sec=jnp.where(valid_s, (te_idx[sl] - toa_idx[sl]).astype(jnp.float32), zero),
+        mag=jnp.where(valid_s, med_mag[sl], zero),
+        snr_db=jnp.where(valid_s, snr[sl], zero),
+        freq_offset_hz=jnp.where(valid_s, med_dph[sl] / 360.0, zero),
+        saturated=jnp.where(valid_s, sat_any[sl] > 0.5, False),
+        valid=valid_s,
+        count=count,
+    )
 
 
 def extract_pdws_channelized_planes(

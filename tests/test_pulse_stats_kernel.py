@@ -1,0 +1,101 @@
+"""Pulse-stats kernel parity: must match the XLA masked-median path exactly
+(same order statistics) on randomized pulse extents."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdr_channelizer_tpu.ops.medians import masked_median
+from sdr_channelizer_tpu.ops.pallas.pulse_stats_kernel import pulse_stats
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pulse_stats_matches_masked_median(seed):
+    rng = np.random.default_rng(seed)
+    m, t_len, p_slots, window = 4, 4096, 128, 256
+    mag = np.abs(rng.standard_normal((m, t_len))).astype(np.float32)
+    dph = rng.standard_normal((m, t_len)).astype(np.float32)
+    sat = (rng.random((m, t_len)) < 0.01).astype(np.float32)
+
+    toa = np.full((m, p_slots), t_len, np.int32)
+    te = np.full((m, p_slots), t_len, np.int32)
+    n_pulses = 40
+    for c in range(m):
+        starts = np.sort(rng.choice(t_len - 600, n_pulses, replace=False))
+        lens = rng.integers(1, 500, n_pulses)  # some longer than window
+        toa[c, :n_pulses] = starts
+        te[c, :n_pulses] = np.minimum(starts + lens, t_len - 1)
+
+    got_mag, got_dph, got_sat = pulse_stats(
+        jnp.asarray(mag), jnp.asarray(dph), jnp.asarray(sat),
+        jnp.asarray(toa), jnp.asarray(te), window=window, interpret=True,
+    )
+    got_mag, got_dph, got_sat = map(np.asarray, (got_mag, got_dph, got_sat))
+
+    pos = np.arange(window)
+    for c in range(m):
+        for s in range(n_pulses):
+            i0, i1 = toa[c, s], te[c, s]
+            plen = min(i1 - i0 + 1, window)
+            w_mag = mag[c, i0 : i0 + window]
+            w_mag = np.pad(w_mag, (0, window - len(w_mag)), constant_values=np.inf)
+            m_mask = pos < plen
+            ref = np.asarray(masked_median(jnp.asarray(w_mag), jnp.asarray(m_mask),
+                                           method="sort"))
+            np.testing.assert_array_equal(got_mag[c, s], ref, err_msg=f"{c},{s}")
+
+            w_dph = dph[c, i0 : i0 + window]
+            w_dph = np.pad(w_dph, (0, window - len(w_dph)))
+            d_mask = pos < plen - 1
+            refd = np.asarray(masked_median(jnp.asarray(w_dph), jnp.asarray(d_mask),
+                                            method="sort"))
+            if plen - 1 > 0:
+                np.testing.assert_array_equal(got_dph[c, s], refd)
+            else:
+                assert np.isnan(got_dph[c, s])
+
+            s_mask = (pos >= 1) & (pos < plen - 1)
+            w_sat = sat[c, i0 : i0 + window]
+            w_sat = np.pad(w_sat, (0, window - len(w_sat)))
+            assert (got_sat[c, s] > 0.5) == bool(np.any(w_sat[s_mask] > 0.5))
+
+    # invalid slots -> NaN medians, zero saturation
+    assert np.all(np.isnan(got_mag[:, n_pulses:]))
+    assert np.all(got_sat[:, n_pulses:] == 0.0)
+
+
+def test_channelized_extraction_pallas_stats_parity():
+    """Full channelized extraction with the Pallas stats path == XLA path."""
+    from sdr_channelizer_tpu.config import PdwConfig
+    from sdr_channelizer_tpu.dsp import pdw as pdwmod
+    from sdr_channelizer_tpu.dsp.channelizer import Channelizer, channelize
+    from sdr_channelizer_tpu.signal.synth import PulseTrainSpec, pulse_train
+
+    specs = [
+        PulseTrainSpec(sample_rate_sps=8e6, duration_sec=4e-3, frequency_hz=2.3e6,
+                       pulse_width_sec=100e-6, pri_sec=500e-6, start_index=1234,
+                       noise_std=3e-3),
+        PulseTrainSpec(sample_rate_sps=8e6, duration_sec=4e-3, frequency_hz=-1.1e6,
+                       pulse_width_sec=700e-6, pri_sec=1500e-6, start_index=100),
+    ]
+    iq = (pulse_train(specs[0], seed=7) + pulse_train(specs[1], seed=8)).astype(np.complex64)
+    n = len(iq) // 8 * 8
+    y = channelize(jnp.asarray(iq[:n]), Channelizer.create(8), method="dft")
+    mag, ph, sat = pdwmod._prep_streams(y, 0.9999)
+
+    cfg = PdwConfig.channelized(max_pulses=64, max_pulse_samples=512)
+    ref = pdwmod.extract_pdws_channelized_streams(mag, ph, sat, cfg, stats="xla")
+    got = pdwmod.extract_pdws_channelized_streams(mag, ph, sat, cfg, stats="pallas")
+
+    np.testing.assert_array_equal(np.asarray(got.count), np.asarray(ref.count))
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
+    np.testing.assert_array_equal(np.asarray(got.toa_idx), np.asarray(ref.toa_idx))
+    np.testing.assert_array_equal(np.asarray(got.te_idx), np.asarray(ref.te_idx))
+    np.testing.assert_array_equal(np.asarray(got.saturated), np.asarray(ref.saturated))
+    np.testing.assert_array_equal(np.asarray(got.mag), np.asarray(ref.mag))
+    # /360 may compile as *-by-reciprocal in one program and true divide in
+    # the other -> 1 ULP; the selected order statistics are identical.
+    np.testing.assert_allclose(np.asarray(got.freq_offset_hz),
+                               np.asarray(ref.freq_offset_hz), rtol=3e-7)
+    np.testing.assert_allclose(np.asarray(got.snr_db), np.asarray(ref.snr_db),
+                               rtol=0, atol=2e-5)
