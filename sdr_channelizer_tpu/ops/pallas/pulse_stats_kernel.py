@@ -145,11 +145,11 @@ def _stats_kernel(toa_sm, te_sm, mag_hbm, dph_hbm, sat_hbm,
         lo, hi = _select_two(keys, mask, k_lo, k_hi)
         return _median_from_prefixes(n, lo, hi).reshape(1, TILE)
 
-    mag_out[0, pl.ds(j * TILE, TILE)] = med(mag_buf, m_mask)[0]
-    dph_out[0, pl.ds(j * TILE, TILE)] = med(dph_buf, d_mask)[0]
+    mag_out[c, pl.ds(j * TILE, TILE)] = med(mag_buf, m_mask)[0]
+    dph_out[c, pl.ds(j * TILE, TILE)] = med(dph_buf, d_mask)[0]
     sat_any = jnp.max(jnp.where(s_mask, sat_buf[...], jnp.float32(0.0)),
                       axis=(1, 2))
-    sat_out[0, pl.ds(j * TILE, TILE)] = sat_any
+    sat_out[c, pl.ds(j * TILE, TILE)] = sat_any
 
 
 @functools.partial(
@@ -200,11 +200,13 @@ def pulse_stats(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, p_slots), lambda c, j, *_: (c, 0),
+            # Whole-array blocks: Mosaic requires sublane-divisible or full
+            # blocks; each step stores its (channel, tile) row slice.
+            pl.BlockSpec((m, p_slots), lambda c, j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p_slots), lambda c, j, *_: (c, 0),
+            pl.BlockSpec((m, p_slots), lambda c, j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p_slots), lambda c, j, *_: (c, 0),
+            pl.BlockSpec((m, p_slots), lambda c, j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
