@@ -5,23 +5,27 @@ wrapped phase difference, and a saturation flag over the pulse extent
 (``create_pdws.m:70,86,100``).  The XLA formulation gathers a fixed window
 per pulse and runs a 32-step radix selection over it — every step streams
 the gathered windows through HBM, which dominates the whole pipeline on
-TPU.  This kernel keeps the selection on-chip:
+TPU.  This kernel keeps the selection on-chip.
 
-* streams are laid out channel-major ``(M, T/128, 128)`` so any pulse
-  window is covered by a lane-aligned ``(rows, 128)`` block — the Mosaic
-  slice rule is satisfied by construction and the *mask*, not extraction,
-  delimits the pulse: each sample's absolute index is reconstructed from
-  (row, lane) iota and compared to the pulse extent;
-* one grid step processes a 128-pulse tile of one channel: 128 block DMAs
-  are issued back-to-back on shared semaphores, then the dual radix
-  selection (k_lo / k_hi order statistics of f32-as-u32 monotone keys) runs
-  vectorized across the tile — 32 passes over VMEM-resident data, and the
-  128-wide result rows store lane-aligned;
-* invalid slots (sentinel ``toa = t_len``) mask to empty and come back NaN,
-  exactly like ``ops.medians.masked_median`` on an empty mask.
+Mosaic-friendly design (every construct below survived real-TPU lowering;
+the "obvious" versions did not):
 
-Exactness: identical order statistics and mean-of-two-middles as the XLA
-path, so PDWs match bit-for-bit.
+* streams are channel-major ``(M, T/128, 128)`` so any pulse window is
+  covered by a lane-aligned ``(rows, 128)`` block; the *mask*, not
+  extraction, delimits the pulse (absolute sample index rebuilt from iota);
+* one grid step = one 128-pulse tile of one channel.  The tile's blocks are
+  DMA'd into a 2-D ``(TILE*rows, 128)`` scratch (3-D scratch indexing and
+  scalar->vector ``stack`` both fail to lower);
+* per-pulse constants (toa/te) reach vector-land through VMEM inputs plus
+  two constant 0/1 matrices: ``EXPAND (TILE*rows, TILE)`` broadcasts a
+  per-pulse column to its row group and ``SEL = EXPAND^T`` group-sums row
+  reductions back to per-pulse values — MXU matmuls instead of unsupported
+  reshapes (all integer payloads < 2^24 so f32 matmuls are exact);
+* the final ``(TILE, 1) -> (1, TILE)`` transpose is ``ones(1,TILE) @
+  diag(vals)``.
+
+Exactness: identical order statistics and mean-of-two-middles as
+``ops.medians.masked_median`` — PDWs match the XLA path bit-for-bit.
 """
 
 from __future__ import annotations
@@ -38,6 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 TILE = 128  # pulses per grid step (= output lane alignment)
 
+_DOT = functools.partial(
+    jnp.dot, preferred_element_type=jnp.float32,
+    precision=jax.lax.Precision.HIGHEST,
+)
+
 
 def _keys_from_f32(x):
     """Order-preserving u32 keys (ops.medians._sortable_u32, in-kernel)."""
@@ -52,104 +61,110 @@ def _f32_from_keys(u):
     return pltpu.bitcast(raw, jnp.float32)
 
 
-def _select_two(keys, mask, k_lo, k_hi):
-    """(k_lo, k_hi)-th smallest masked keys per tile slice.
-
-    keys/mask: (TILE, R, LANES); k_*: (TILE, 1, 1) i32.
-    Runs both radix descents in one pass loop (shared live-mask compute).
-    """
-    t = keys.shape[0]
-    pref_lo = jnp.zeros((t, 1, 1), jnp.uint32)
-    pref_hi = jnp.zeros((t, 1, 1), jnp.uint32)
-    klo = k_lo.astype(jnp.int32)
-    khi = k_hi.astype(jnp.int32)
-    for b in range(31, -1, -1):
-        bit = np.uint32(1 << b)
-        above = np.uint32((0xFFFFFFFF << (b + 1)) & 0xFFFFFFFF) if b < 31 else np.uint32(0)
-        zero_here = (keys & bit) == 0
-        for which in (0, 1):
-            pref = pref_lo if which == 0 else pref_hi
-            kk = klo if which == 0 else khi
-            live = mask & ((keys & above) == (pref & above))
-            cnt0 = jnp.sum((live & zero_here).astype(jnp.int32),
-                           axis=(1, 2)).reshape(t, 1, 1)
-            take1 = kk >= cnt0
-            kk = jnp.where(take1, kk - cnt0, kk)
-            pref = jnp.where(take1, pref | bit, pref)
-            if which == 0:
-                pref_lo, klo = pref, kk
-            else:
-                pref_hi, khi = pref, kk
-    return pref_lo, pref_hi
-
-
-def _median_from_prefixes(n, pref_lo, pref_hi):
-    med = 0.5 * (_f32_from_keys(pref_lo) + _f32_from_keys(pref_hi))
-    return jnp.where(n > 0, med, jnp.nan)
-
-
 def _stats_kernel(toa_sm, te_sm, mag_hbm, dph_hbm, sat_hbm,
+                  toa_vm, te_vm, expand_vm, sel_vm,
                   mag_out, dph_out, sat_out,
                   mag_buf, dph_buf, sat_buf, sems,
-                  *, rows: int, window: int, t_len: int):
-    """Grid (M, P_slots // TILE): channel c, pulse tile j.
-
-    ``t_len`` is the number of VALID samples; the arrays may be row-padded
-    beyond it (mask kills padded positions via ``idx < t_len``).
-    """
+                  *, rows: int, window: int, t_len: int, m_lanes: int):
+    """Grid (M, P_slots // TILE): channel c, pulse tile j."""
     c = pl.program_id(0)
     j = pl.program_id(1)
     n_rows_total = mag_hbm.shape[1]
+    g = TILE * rows  # stacked scratch rows
 
+    # Issue the tile's DMAs (scalar toa reads drive the block offsets).
     copies = []
-    toa_scalars = []
-    te_scalars = []
     for s in range(TILE):
-        slot = j * TILE + s
-        toa = toa_sm[c, slot]
-        te = te_sm[c, slot]
-        toa_scalars.append(toa)
-        te_scalars.append(te)
+        toa = toa_sm[c, j * TILE + s]
         r0 = jnp.clip(toa // LANES, 0, n_rows_total - rows)
         for hbm, buf, k in ((mag_hbm, mag_buf, 0), (dph_hbm, dph_buf, 1),
                             (sat_hbm, sat_buf, 2)):
             cp = pltpu.make_async_copy(
-                hbm.at[c, pl.ds(r0, rows), :], buf.at[s], sems.at[k],
+                hbm.at[c, pl.ds(r0, rows), :],
+                buf.at[pl.ds(s * rows, rows), :],
+                sems.at[k],
             )
             cp.start()
             copies.append(cp)
+
+    # Per-pulse toa/te as (TILE, 1) f32 via lane-select from the VMEM block.
+    lane_sel = (jax.lax.broadcasted_iota(jnp.int32, (TILE, m_lanes), 1)
+                == c).astype(jnp.float32)
+    toa_col = jnp.sum(toa_vm[...] * lane_sel, axis=1, keepdims=True)
+    te_col = jnp.sum(te_vm[...] * lane_sel, axis=1, keepdims=True)
+
+    # Broadcast to row groups with the constant EXPAND matmul.
+    expand = expand_vm[...]
+    toa_rows = _DOT(expand, toa_col)          # (g, 1) f32, exact ints
+    te_rows = _DOT(expand, te_col)
+    r0_rows = jnp.clip(jnp.floor(toa_rows / LANES),
+                       0.0, float(n_rows_total - rows))
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (g, LANES), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (g, LANES), 1)
+    within = (row_iota - (row_iota // rows) * rows).astype(jnp.float32)
+    idx = (r0_rows + within) * LANES + lane_iota.astype(jnp.float32)
+
+    # Reference window semantics (dsp/pdw.py:_emit_batch).
+    plen = jnp.minimum(te_rows - toa_rows + 1.0, float(window))
+    pos = idx - toa_rows
+    in_any = (pos >= 0.0) & (idx < float(t_len))
+    m_mask = in_any & (pos < plen)
+    d_mask = in_any & (pos < plen - 1.0)
+    s_mask = in_any & (pos >= 1.0) & (pos < plen - 1.0)
+
     for cp in copies:
         cp.wait()
 
-    toa_v = jnp.stack(toa_scalars).reshape(TILE, 1, 1)
-    te_v = jnp.stack(te_scalars).reshape(TILE, 1, 1)
-    r0_v = jnp.clip(toa_v // LANES, 0, n_rows_total - rows)
+    sel = sel_vm[...]
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, rows, LANES), 1)
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, rows, LANES), 2)
-    idx = (r0_v + row_ids) * LANES + lane_ids
+    def group_sum(x_f32):  # (g, LANES) -> (TILE, 1)
+        return _DOT(sel, jnp.sum(x_f32, axis=1, keepdims=True))
 
-    # Reference window semantics (dsp/pdw.py:_emit_batch).
-    plen = jnp.minimum(te_v - toa_v + 1, window)
-    pos = idx - toa_v
-    in_any = (pos >= 0) & (idx < t_len)
-    m_mask = in_any & (pos < plen)
-    d_mask = in_any & (pos < plen - 1)
-    s_mask = in_any & (pos >= 1) & (pos < plen - 1)
+    def select_kth(keys, mask, k_col):
+        """k-th smallest masked key per pulse; k_col (TILE, 1) f32."""
+        pref = jnp.zeros((TILE, 1), jnp.uint32)
+        kk = k_col
+        for b in range(31, -1, -1):
+            bit = np.uint32(1 << b)
+            above = (np.uint32((0xFFFFFFFF << (b + 1)) & 0xFFFFFFFF)
+                     if b < 31 else np.uint32(0))
+            # Broadcast the per-pulse prefix to row groups.  u32 payloads do
+            # not fit f32; split into hi/lo 16-bit halves for the matmul.
+            pref_hi = (pref >> 16).astype(jnp.float32)
+            pref_lo = (pref & jnp.uint32(0xFFFF)).astype(jnp.float32)
+            prow = (_DOT(expand, pref_hi).astype(jnp.uint32) << 16) | _DOT(
+                expand, pref_lo).astype(jnp.uint32)
+            live = mask & ((keys & above) == (prow & above))
+            zero_here = (keys & bit) == 0
+            cnt0 = group_sum((live & zero_here).astype(jnp.float32))
+            take1 = kk >= cnt0
+            kk = jnp.where(take1, kk - cnt0, kk)
+            pref = jnp.where(take1, pref | bit, pref)
+        return pref
 
-    def med(buf, mask):
+    def median(buf, mask):
         keys = _keys_from_f32(buf[...])
-        n = jnp.sum(mask.astype(jnp.int32), axis=(1, 2)).reshape(TILE, 1, 1)
-        k_lo = jnp.maximum((n - 1) // 2, 0)
-        k_hi = jnp.maximum(n // 2, 0)
-        lo, hi = _select_two(keys, mask, k_lo, k_hi)
-        return _median_from_prefixes(n, lo, hi).reshape(1, TILE)
+        n = group_sum(mask.astype(jnp.float32))
+        k_lo = jnp.maximum(jnp.floor((n - 1.0) / 2.0), 0.0)
+        k_hi = jnp.maximum(jnp.floor(n / 2.0), 0.0)
+        lo = _f32_from_keys(select_kth(keys, mask, k_lo))
+        hi = _f32_from_keys(select_kth(keys, mask, k_hi))
+        med = 0.5 * (lo + hi)
+        return jnp.where(n > 0, med, jnp.nan)  # (TILE, 1)
 
-    mag_out[c, pl.ds(j * TILE, TILE)] = med(mag_buf, m_mask)[0]
-    dph_out[c, pl.ds(j * TILE, TILE)] = med(dph_buf, d_mask)[0]
-    sat_any = jnp.max(jnp.where(s_mask, sat_buf[...], jnp.float32(0.0)),
-                      axis=(1, 2))
-    sat_out[c, pl.ds(j * TILE, TILE)] = sat_any
+    def to_row(col):  # (TILE, 1) -> (1, TILE) without reshape/transpose
+        diag = (jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1))
+        return _DOT(jnp.ones((1, TILE), jnp.float32),
+                    jnp.where(diag, col, 0.0))
+
+    mag_out[pl.ds(c, 1), pl.ds(j * TILE, TILE)] = to_row(median(mag_buf, m_mask))
+    dph_out[pl.ds(c, 1), pl.ds(j * TILE, TILE)] = to_row(median(dph_buf, d_mask))
+    sat_col = group_sum(jnp.where(s_mask, sat_buf[...], 0.0))
+    sat_out[pl.ds(c, 1), pl.ds(j * TILE, TILE)] = to_row(
+        jnp.where(sat_col > 0.5, 1.0, 0.0)
+    )
 
 
 @functools.partial(
@@ -168,13 +183,13 @@ def pulse_stats(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Per-pulse (median mag, median dph, saturated) of shape (M, P_slots).
 
-    ``T`` must be a multiple of 128, ``window`` a multiple of 128, and
-    ``P_slots`` a multiple of 128 (tile/lane alignment).
-    """
+    ``P_slots`` must be a multiple of 128.  Sample indices must stay below
+    2^24 per capture block (f32-exact integer broadcasting)."""
     interpret = interpret or jax.devices()[0].platform == "cpu"
     m, t_len = mag_cm.shape
     p_slots = toa.shape[1]
     assert p_slots % TILE == 0, p_slots
+    assert t_len < (1 << 24), t_len
     # Row-pad the time axis to whole 128-lane rows (mask excludes the pad).
     t_pad = (-t_len) % LANES
     if t_pad:
@@ -183,21 +198,39 @@ def pulse_stats(
         dph_cm = jnp.pad(dph_cm, pad)
         sat_cm = jnp.pad(sat_cm, pad)
     t_stored = t_len + t_pad
-    # Block coverage: window samples starting anywhere within a row.
     rows = (window + LANES - 1) // LANES + 1
     assert t_stored >= rows * LANES, (t_stored, rows)
     view = (m, t_stored // LANES, LANES)
+    g = TILE * rows
+    m_lanes = max(((m + LANES - 1) // LANES) * LANES, LANES)
+
+    # Per-pulse params for vector-land: (p_slots, m_lanes) f32, lane-padded.
+    n_tiles = p_slots // TILE
+    toa_f = toa.astype(jnp.float32).T  # (p_slots, m)
+    te_f = te.astype(jnp.float32).T
+    toa_vm = jnp.pad(toa_f, ((0, 0), (0, m_lanes - m)))
+    te_vm = jnp.pad(te_f, ((0, 0), (0, m_lanes - m)))
+
+    expand = np.zeros((g, TILE), np.float32)
+    expand[np.arange(g), np.arange(g) // rows] = 1.0
+    sel = expand.T.copy()
 
     kernel = functools.partial(
-        _stats_kernel, rows=rows, window=window, t_len=t_len,
+        _stats_kernel, rows=rows, window=window, t_len=t_len, m_lanes=m_lanes,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(m, p_slots // TILE),
+        grid=(m, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((TILE, m_lanes), lambda c, j, *_: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, m_lanes), lambda c, j, *_: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # expand
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sel
         ],
         out_specs=[
             # Whole-array blocks: Mosaic requires sublane-divisible or full
@@ -210,9 +243,9 @@ def pulse_stats(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TILE, rows, LANES), jnp.float32),
-            pltpu.VMEM((TILE, rows, LANES), jnp.float32),
-            pltpu.VMEM((TILE, rows, LANES), jnp.float32),
+            pltpu.VMEM((g, LANES), jnp.float32),
+            pltpu.VMEM((g, LANES), jnp.float32),
+            pltpu.VMEM((g, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
@@ -226,5 +259,6 @@ def pulse_stats(
         ],
         interpret=interpret,
     )(toa, te,
-      mag_cm.reshape(view), dph_cm.reshape(view), sat_cm.reshape(view))
+      mag_cm.reshape(view), dph_cm.reshape(view), sat_cm.reshape(view),
+      toa_vm, te_vm, jnp.asarray(expand), jnp.asarray(sel))
     return mag_med, dph_med, sat_any
