@@ -131,10 +131,15 @@ def _stats_kernel(toa_sm, te_sm, mag_hbm, dph_hbm, sat_hbm,
                      if b < 31 else np.uint32(0))
             # Broadcast the per-pulse prefix to row groups.  u32 payloads do
             # not fit f32; split into hi/lo 16-bit halves for the matmul.
-            pref_hi = (pref >> 16).astype(jnp.float32)
-            pref_lo = (pref & jnp.uint32(0xFFFF)).astype(jnp.float32)
-            prow = (_DOT(expand, pref_hi).astype(jnp.uint32) << 16) | _DOT(
-                expand, pref_lo).astype(jnp.uint32)
+            # (Mosaic has no u32<->f32 casts — route through i32 bitcasts.)
+            pref_hi = pltpu.bitcast(pref >> 16, jnp.int32).astype(jnp.float32)
+            pref_lo = pltpu.bitcast(pref & jnp.uint32(0xFFFF),
+                                    jnp.int32).astype(jnp.float32)
+            prow_hi = pltpu.bitcast(_DOT(expand, pref_hi).astype(jnp.int32),
+                                    jnp.uint32)
+            prow_lo = pltpu.bitcast(_DOT(expand, pref_lo).astype(jnp.int32),
+                                    jnp.uint32)
+            prow = (prow_hi << 16) | prow_lo
             live = mask & ((keys & above) == (prow & above))
             zero_here = (keys & bit) == 0
             cnt0 = group_sum((live & zero_here).astype(jnp.float32))
