@@ -122,13 +122,17 @@ def _stats_kernel(toa_sm, te_sm, mag_hbm, dph_hbm, sat_hbm,
         return _DOT(sel, jnp.sum(x_f32, axis=1, keepdims=True))
 
     def select_kth(keys, mask, k_col):
-        """k-th smallest masked key per pulse; k_col (TILE, 1) f32."""
-        pref = jnp.zeros((TILE, 1), jnp.uint32)
-        kk = k_col
-        for b in range(31, -1, -1):
-            bit = np.uint32(1 << b)
-            above = (np.uint32((0xFFFFFFFF << (b + 1)) & 0xFFFFFFFF)
-                     if b < 31 else np.uint32(0))
+        """k-th smallest masked key per pulse; k_col (TILE, 1) f32.
+
+        fori_loop over the 32 bits (an unrolled version blows the Mosaic
+        stack-VMEM budget); bit constants derived from the traced index.
+        """
+
+        def body(i, carry):
+            pref, kk = carry
+            b = 31 - i
+            bit = jnp.uint32(1) << b
+            above = ~((bit << 1) - jnp.uint32(1))  # bits strictly above b
             # Broadcast the per-pulse prefix to row groups.  u32 payloads do
             # not fit f32; split into hi/lo 16-bit halves for the matmul.
             # (Mosaic has no u32<->f32 casts — route through i32 bitcasts.)
@@ -146,6 +150,10 @@ def _stats_kernel(toa_sm, te_sm, mag_hbm, dph_hbm, sat_hbm,
             take1 = kk >= cnt0
             kk = jnp.where(take1, kk - cnt0, kk)
             pref = jnp.where(take1, pref | bit, pref)
+            return pref, kk
+
+        pref0 = jnp.zeros((TILE, 1), jnp.uint32)
+        pref, _ = jax.lax.fori_loop(0, 32, body, (pref0, k_col))
         return pref
 
     def median(buf, mask):
