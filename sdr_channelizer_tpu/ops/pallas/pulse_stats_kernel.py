@@ -172,10 +172,11 @@ def _stats_kernel(toa_sm, te_sm, mag_hbm, dph_hbm, sat_hbm,
         return _DOT(jnp.ones((1, TILE), jnp.float32),
                     jnp.where(diag, col, 0.0))
 
-    mag_out[pl.ds(c, 1), pl.ds(j * TILE, TILE)] = to_row(median(mag_buf, m_mask))
-    dph_out[pl.ds(c, 1), pl.ds(j * TILE, TILE)] = to_row(median(dph_buf, d_mask))
+    off = pl.multiple_of(j * TILE, TILE)  # prove lane alignment to Mosaic
+    mag_out[pl.ds(c, 1), pl.ds(off, TILE)] = to_row(median(mag_buf, m_mask))
+    dph_out[pl.ds(c, 1), pl.ds(off, TILE)] = to_row(median(dph_buf, d_mask))
     sat_col = group_sum(jnp.where(s_mask, sat_buf[...], 0.0))
-    sat_out[pl.ds(c, 1), pl.ds(j * TILE, TILE)] = to_row(
+    sat_out[pl.ds(c, 1), pl.ds(off, TILE)] = to_row(
         jnp.where(sat_col > 0.5, 1.0, 0.0)
     )
 
