@@ -172,11 +172,16 @@ def _stats_kernel(toa_sm, te_sm, mag_hbm, dph_hbm, sat_hbm,
         return _DOT(jnp.ones((1, TILE), jnp.float32),
                     jnp.where(diag, col, 0.0))
 
-    off = pl.multiple_of(j * TILE, TILE)  # prove lane alignment to Mosaic
-    mag_out[pl.ds(c, 1), pl.ds(off, TILE)] = to_row(median(mag_buf, m_mask))
-    dph_out[pl.ds(c, 1), pl.ds(off, TILE)] = to_row(median(dph_buf, d_mask))
+    # Mosaic dynamic stores need 8-aligned sublane offsets: outputs are
+    # 8-row strided (row c*8), written as an aligned (8, TILE) broadcast
+    # block; the wrapper slices [::8].
+    off = pl.multiple_of(j * TILE, TILE)
+    row = pl.multiple_of(c * 8, 8)
+    eight = jnp.ones((8, 1), jnp.float32)
+    mag_out[pl.ds(row, 8), pl.ds(off, TILE)] = eight * to_row(median(mag_buf, m_mask))
+    dph_out[pl.ds(row, 8), pl.ds(off, TILE)] = eight * to_row(median(dph_buf, d_mask))
     sat_col = group_sum(jnp.where(s_mask, sat_buf[...], 0.0))
-    sat_out[pl.ds(c, 1), pl.ds(off, TILE)] = to_row(
+    sat_out[pl.ds(row, 8), pl.ds(off, TILE)] = eight * to_row(
         jnp.where(sat_col > 0.5, 1.0, 0.0)
     )
 
@@ -247,13 +252,12 @@ def pulse_stats(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # sel
         ],
         out_specs=[
-            # Whole-array blocks: Mosaic requires sublane-divisible or full
-            # blocks; each step stores its (channel, tile) row slice.
-            pl.BlockSpec((m, p_slots), lambda c, j, *_: (0, 0),
+            # Whole-array blocks; 8-row strided (see kernel store comment).
+            pl.BlockSpec((m * 8, p_slots), lambda c, j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, p_slots), lambda c, j, *_: (0, 0),
+            pl.BlockSpec((m * 8, p_slots), lambda c, j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, p_slots), lambda c, j, *_: (0, 0),
+            pl.BlockSpec((m * 8, p_slots), lambda c, j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -267,12 +271,12 @@ def pulse_stats(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((m, p_slots), jnp.float32),
-            jax.ShapeDtypeStruct((m, p_slots), jnp.float32),
-            jax.ShapeDtypeStruct((m, p_slots), jnp.float32),
+            jax.ShapeDtypeStruct((m * 8, p_slots), jnp.float32),
+            jax.ShapeDtypeStruct((m * 8, p_slots), jnp.float32),
+            jax.ShapeDtypeStruct((m * 8, p_slots), jnp.float32),
         ],
         interpret=interpret,
     )(toa, te,
       mag_cm.reshape(view), dph_cm.reshape(view), sat_cm.reshape(view),
       toa_vm, te_vm, jnp.asarray(expand), jnp.asarray(sel))
-    return mag_med, dph_med, sat_any
+    return mag_med[::8], dph_med[::8], sat_any[::8]
