@@ -72,118 +72,135 @@ def _stats_kernel(toa_sm, te_sm, mag_hbm, dph_hbm, sat_hbm,
     n_rows_total = mag_hbm.shape[1]
     g = TILE * rows  # stacked scratch rows
 
-    # Issue the tile's DMAs (scalar toa reads drive the block offsets).
-    copies = []
-    for s in range(TILE):
-        toa = toa_sm[c, j * TILE + s]
-        r0 = jnp.clip(toa // LANES, 0, n_rows_total - rows)
-        for hbm, buf, k in ((mag_hbm, mag_buf, 0), (dph_hbm, dph_buf, 1),
-                            (sat_hbm, sat_buf, 2)):
-            cp = pltpu.make_async_copy(
-                hbm.at[c, pl.ds(r0, rows), :],
-                buf.at[pl.ds(s * rows, rows), :],
-                sems.at[k],
-            )
-            cp.start()
-            copies.append(cp)
+    # Skip tiles with no valid pulses at all (slots fill in order, so
+    # slot 0 invalid means the whole tile is empty; outputs for skipped
+    # tiles are garbage and masked out by `valid` downstream).
+    @pl.when(toa_sm[c, j * TILE] < t_len)
+    def _tile():
+        # Issue the tile's DMAs (scalar toa reads drive the block offsets).
+        # Slots are filled in order, so slot s invalid (sentinel toa) implies
+        # all later slots invalid — gate each DMA on its slot's validity and
+        # skip stale-scratch slots via the all-false masks.
+        def slot_copies(s):
+            toa = toa_sm[c, j * TILE + s]
+            r0 = jnp.clip(toa // LANES, 0, n_rows_total - rows)
+            return [
+                pltpu.make_async_copy(
+                    hbm.at[c, pl.ds(r0, rows), :],
+                    buf.at[pl.ds(s * rows, rows), :],
+                    sems.at[k],
+                )
+                for hbm, buf, k in ((mag_hbm, mag_buf, 0), (dph_hbm, dph_buf, 1),
+                                    (sat_hbm, sat_buf, 2))
+            ]
 
-    # Per-pulse toa/te as (TILE, 1) f32 via lane-select from the VMEM block.
-    lane_sel = (jax.lax.broadcasted_iota(jnp.int32, (TILE, m_lanes), 1)
-                == c).astype(jnp.float32)
-    toa_col = jnp.sum(toa_vm[...] * lane_sel, axis=1, keepdims=True)
-    te_col = jnp.sum(te_vm[...] * lane_sel, axis=1, keepdims=True)
+        for s in range(TILE):
+            @pl.when(toa_sm[c, j * TILE + s] < t_len)
+            def _(s=s):
+                for cp in slot_copies(s):
+                    cp.start()
 
-    # Broadcast to row groups with the constant EXPAND matmul.
-    expand = expand_vm[...]
-    toa_rows = _DOT(expand, toa_col)          # (g, 1) f32, exact ints
-    te_rows = _DOT(expand, te_col)
-    r0_rows = jnp.clip(jnp.floor(toa_rows / LANES),
-                       0.0, float(n_rows_total - rows))
+        # Per-pulse toa/te as (TILE, 1) f32 via lane-select from the VMEM block.
+        lane_sel = (jax.lax.broadcasted_iota(jnp.int32, (TILE, m_lanes), 1)
+                    == c).astype(jnp.float32)
+        toa_col = jnp.sum(toa_vm[...] * lane_sel, axis=1, keepdims=True)
+        te_col = jnp.sum(te_vm[...] * lane_sel, axis=1, keepdims=True)
 
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (g, LANES), 0)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (g, LANES), 1)
-    within = (row_iota - (row_iota // rows) * rows).astype(jnp.float32)
-    idx = (r0_rows + within) * LANES + lane_iota.astype(jnp.float32)
+        # Broadcast to row groups with the constant EXPAND matmul.
+        expand = expand_vm[...]
+        toa_rows = _DOT(expand, toa_col)          # (g, 1) f32, exact ints
+        te_rows = _DOT(expand, te_col)
+        r0_rows = jnp.clip(jnp.floor(toa_rows / LANES),
+                           0.0, float(n_rows_total - rows))
 
-    # Reference window semantics (dsp/pdw.py:_emit_batch).
-    plen = jnp.minimum(te_rows - toa_rows + 1.0, float(window))
-    pos = idx - toa_rows
-    in_any = (pos >= 0.0) & (idx < float(t_len))
-    m_mask = in_any & (pos < plen)
-    d_mask = in_any & (pos < plen - 1.0)
-    s_mask = in_any & (pos >= 1.0) & (pos < plen - 1.0)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (g, LANES), 0)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (g, LANES), 1)
+        within = (row_iota - (row_iota // rows) * rows).astype(jnp.float32)
+        idx = (r0_rows + within) * LANES + lane_iota.astype(jnp.float32)
 
-    for cp in copies:
-        cp.wait()
+        # Reference window semantics (dsp/pdw.py:_emit_batch).
+        plen = jnp.minimum(te_rows - toa_rows + 1.0, float(window))
+        pos = idx - toa_rows
+        in_any = (pos >= 0.0) & (idx < float(t_len))
+        m_mask = in_any & (pos < plen)
+        d_mask = in_any & (pos < plen - 1.0)
+        s_mask = in_any & (pos >= 1.0) & (pos < plen - 1.0)
 
-    sel = sel_vm[...]
+        for s in range(TILE):
+            @pl.when(toa_sm[c, j * TILE + s] < t_len)
+            def _(s=s):
+                for cp in slot_copies(s):
+                    cp.wait()
 
-    def group_sum(x_f32):  # (g, LANES) -> (TILE, 1)
-        return _DOT(sel, jnp.sum(x_f32, axis=1, keepdims=True))
+        sel = sel_vm[...]
 
-    def select_kth(keys, mask, k_col):
-        """k-th smallest masked key per pulse; k_col (TILE, 1) f32.
+        def group_sum(x_f32):  # (g, LANES) -> (TILE, 1)
+            return _DOT(sel, jnp.sum(x_f32, axis=1, keepdims=True))
 
-        fori_loop over the 32 bits (an unrolled version blows the Mosaic
-        stack-VMEM budget); bit constants derived from the traced index.
-        """
+        def select_kth(keys, mask, k_col):
+            """k-th smallest masked key per pulse; k_col (TILE, 1) f32.
 
-        def body(i, carry):
-            pref, kk = carry
-            b = 31 - i
-            bit = jnp.uint32(1) << b
-            above = ~((bit << 1) - jnp.uint32(1))  # bits strictly above b
-            # Broadcast the per-pulse prefix to row groups.  u32 payloads do
-            # not fit f32; split into hi/lo 16-bit halves for the matmul.
-            # (Mosaic has no u32<->f32 casts — route through i32 bitcasts.)
-            pref_hi = pltpu.bitcast(pref >> 16, jnp.int32).astype(jnp.float32)
-            pref_lo = pltpu.bitcast(pref & jnp.uint32(0xFFFF),
-                                    jnp.int32).astype(jnp.float32)
-            prow_hi = pltpu.bitcast(_DOT(expand, pref_hi).astype(jnp.int32),
-                                    jnp.uint32)
-            prow_lo = pltpu.bitcast(_DOT(expand, pref_lo).astype(jnp.int32),
-                                    jnp.uint32)
-            prow = (prow_hi << 16) | prow_lo
-            live = mask & ((keys & above) == (prow & above))
-            zero_here = (keys & bit) == 0
-            cnt0 = group_sum((live & zero_here).astype(jnp.float32))
-            take1 = kk >= cnt0
-            kk = jnp.where(take1, kk - cnt0, kk)
-            pref = jnp.where(take1, pref | bit, pref)
-            return pref, kk
+            fori_loop over the 32 bits (an unrolled version blows the Mosaic
+            stack-VMEM budget); bit constants derived from the traced index.
+            """
 
-        pref0 = jnp.zeros((TILE, 1), jnp.uint32)
-        pref, _ = jax.lax.fori_loop(0, 32, body, (pref0, k_col))
-        return pref
+            def body(i, carry):
+                pref, kk = carry
+                b = 31 - i
+                bit = jnp.uint32(1) << b
+                above = ~((bit << 1) - jnp.uint32(1))  # bits strictly above b
+                # Broadcast the per-pulse prefix to row groups.  u32 payloads do
+                # not fit f32; split into hi/lo 16-bit halves for the matmul.
+                # (Mosaic has no u32<->f32 casts — route through i32 bitcasts.)
+                pref_hi = pltpu.bitcast(pref >> 16, jnp.int32).astype(jnp.float32)
+                pref_lo = pltpu.bitcast(pref & jnp.uint32(0xFFFF),
+                                        jnp.int32).astype(jnp.float32)
+                prow_hi = pltpu.bitcast(_DOT(expand, pref_hi).astype(jnp.int32),
+                                        jnp.uint32)
+                prow_lo = pltpu.bitcast(_DOT(expand, pref_lo).astype(jnp.int32),
+                                        jnp.uint32)
+                prow = (prow_hi << 16) | prow_lo
+                live = mask & ((keys & above) == (prow & above))
+                zero_here = (keys & bit) == 0
+                cnt0 = group_sum((live & zero_here).astype(jnp.float32))
+                take1 = kk >= cnt0
+                kk = jnp.where(take1, kk - cnt0, kk)
+                pref = jnp.where(take1, pref | bit, pref)
+                return pref, kk
 
-    def median(buf, mask):
-        keys = _keys_from_f32(buf[...])
-        n = group_sum(mask.astype(jnp.float32))
-        k_lo = jnp.maximum(jnp.floor((n - 1.0) / 2.0), 0.0)
-        k_hi = jnp.maximum(jnp.floor(n / 2.0), 0.0)
-        lo = _f32_from_keys(select_kth(keys, mask, k_lo))
-        hi = _f32_from_keys(select_kth(keys, mask, k_hi))
-        med = 0.5 * (lo + hi)
-        return jnp.where(n > 0, med, jnp.nan)  # (TILE, 1)
+            pref0 = jnp.zeros((TILE, 1), jnp.uint32)
+            pref, _ = jax.lax.fori_loop(0, 32, body, (pref0, k_col))
+            return pref
 
-    def to_row(col):  # (TILE, 1) -> (1, TILE) without reshape/transpose
-        diag = (jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
-                == jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1))
-        return _DOT(jnp.ones((1, TILE), jnp.float32),
-                    jnp.where(diag, col, 0.0))
+        def median(buf, mask):
+            keys = _keys_from_f32(buf[...])
+            n = group_sum(mask.astype(jnp.float32))
+            k_lo = jnp.maximum(jnp.floor((n - 1.0) / 2.0), 0.0)
+            k_hi = jnp.maximum(jnp.floor(n / 2.0), 0.0)
+            lo = _f32_from_keys(select_kth(keys, mask, k_lo))
+            hi = _f32_from_keys(select_kth(keys, mask, k_hi))
+            med = 0.5 * (lo + hi)
+            return jnp.where(n > 0, med, jnp.nan)  # (TILE, 1)
 
-    # Mosaic dynamic stores need 8-aligned sublane offsets: outputs are
-    # 8-row strided (row c*8), written as an aligned (8, TILE) broadcast
-    # block; the wrapper slices [::8].
-    off = pl.multiple_of(j * TILE, TILE)
-    row = pl.multiple_of(c * 8, 8)
-    eight = jnp.ones((8, 1), jnp.float32)
-    mag_out[pl.ds(row, 8), pl.ds(off, TILE)] = eight * to_row(median(mag_buf, m_mask))
-    dph_out[pl.ds(row, 8), pl.ds(off, TILE)] = eight * to_row(median(dph_buf, d_mask))
-    sat_col = group_sum(jnp.where(s_mask, sat_buf[...], 0.0))
-    sat_out[pl.ds(row, 8), pl.ds(off, TILE)] = eight * to_row(
-        jnp.where(sat_col > 0.5, 1.0, 0.0)
-    )
+        def to_row(col):  # (TILE, 1) -> (1, TILE) without reshape/transpose
+            diag = (jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+                    == jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1))
+            return _DOT(jnp.ones((1, TILE), jnp.float32),
+                        jnp.where(diag, col, 0.0))
+
+        # Mosaic dynamic stores need 8-aligned sublane offsets: outputs are
+        # 8-row strided (row c*8), written as an aligned (8, TILE) broadcast
+        # block; the wrapper slices [::8].
+        off = pl.multiple_of(j * TILE, TILE)
+        row = pl.multiple_of(c * 8, 8)
+        eight = jnp.ones((8, 1), jnp.float32)
+        mag_out[pl.ds(row, 8), pl.ds(off, TILE)] = eight * to_row(median(mag_buf, m_mask))
+        dph_out[pl.ds(row, 8), pl.ds(off, TILE)] = eight * to_row(median(dph_buf, d_mask))
+        sat_col = group_sum(jnp.where(s_mask, sat_buf[...], 0.0))
+        sat_out[pl.ds(row, 8), pl.ds(off, TILE)] = eight * to_row(
+            jnp.where(sat_col > 0.5, 1.0, 0.0)
+        )
+
 
 
 @functools.partial(
