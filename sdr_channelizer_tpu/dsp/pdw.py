@@ -419,11 +419,19 @@ def _extract_channelized_pallas_stats(
     lead_edge = state & ~prev
     trail_edge = ~state & prev
 
-    edges_idx = jax.vmap(
-        functools.partial(_edge_indices, max_pulses=p_slots), in_axes=1
-    )
-    toa_idx = edges_idx(lead_edge)   # (M, p_slots), sentinel t_len
-    te_idx = edges_idx(trail_edge)
+    # Edge positions via searchsorted on the rank cumsum: the r-th edge is
+    # the first t with cumsum >= r+1, and slots past the count come back as
+    # t_len — the same sentinel semantics as _edge_indices, but gather-based
+    # (binary search) instead of a scatter, which is an order of magnitude
+    # faster on TPU.
+    ranks = jnp.arange(1, p_slots + 1, dtype=jnp.int32)
+
+    def find_edges(edge_col):
+        csum = jnp.cumsum(edge_col.astype(jnp.int32))
+        return jnp.searchsorted(csum, ranks, side="left").astype(jnp.int32)
+
+    toa_idx = jax.vmap(find_edges, in_axes=1)(lead_edge)  # (M, p_slots)
+    te_idx = jax.vmap(find_edges, in_axes=1)(trail_edge)
     count = jnp.sum(trail_edge, axis=0).astype(jnp.int32)
     valid = jnp.arange(p_slots)[None, :] < count[:, None]
 
