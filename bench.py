@@ -125,7 +125,17 @@ def main() -> None:
         args.bands,
         pdw_cfg=PdwConfig.channelized(max_pulses=512, max_pulse_samples=1024),
     )
-    x = jax.device_put(_make_capture(n, args.bands), dev)
+    cap = _make_capture(n, args.bands)
+    # Flagship path: raw int16 I/Q planes with in-kernel dequant (the
+    # zero-copy ingest a recorder payload takes).
+    q = np.clip(np.round(cap.view(np.float32).reshape(-1, 2) * 2048), -2048,
+                2047).astype(np.int16)
+    xr16 = jax.device_put(np.ascontiguousarray(q[:, 0]), dev)
+    xi16 = jax.device_put(np.ascontiguousarray(q[:, 1]), dev)
+    x = jax.device_put(cap, dev)
+
+    def fused_step(_):
+        return pipe.step_fused(xr16, xi16, bit_width=12)
 
     if args.stages:
         import jax.numpy as jnp
@@ -152,7 +162,7 @@ def main() -> None:
               file=sys.stderr)
 
     t_compile0 = time.perf_counter()
-    dt = _time_fn(pipe.step, x, args.iters)
+    dt = _time_fn(fused_step, None, args.iters)
     print(f"bench: total incl. compile+warmup {time.perf_counter()-t_compile0:.1f}s",
           file=sys.stderr)
 
