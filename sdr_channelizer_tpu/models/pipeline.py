@@ -161,7 +161,21 @@ class ChannelizerPipeline:
         sample_start_time: float = 0.0,
     ) -> dict:
         """Capture -> host PDW dict (absolute TOAs in epoch seconds, absolute
-        frequencies with per-bin offsets)."""
+        frequencies with per-bin offsets).
+
+        On non-CPU backends this routes through the complex-free planes
+        graph (some TPU transports cannot lower complex matmuls or transfer
+        complex results); on CPU it uses the complex FFT oracle path.
+        Results are identical up to 1-ulp scalar rounding.
+        """
+        try:
+            platform = jax.devices()[0].platform
+        except RuntimeError:
+            platform = "cpu"
+        if platform != "cpu":
+            return self.extract_planes(
+                np.asarray(x), fs=fs, fc=fc, sample_start_time=sample_start_time
+            )
         _, _, batch = self.step(x)
         m = self.channelizer.num_bands
         return pdwmod.finalize_pdws(

@@ -37,6 +37,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _win_rows(t_blk: int, p: int, tile: int = 16) -> int:
+    """DMA window rows, rounded up to the sublane tiling (16 covers both
+    f32 and int16 scratch — Mosaic requires tile-aligned slice shapes)."""
+    win = t_blk + p - 1
+    return ((win + tile - 1) // tile) * tile
+
+
 def _kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref, yr_ref, yi_ref,
             buf_r, buf_i, sems, *, block_frames: int, taps_per_band: int):
     """Grid step i: window rows [i*T, i*T + T + P - 1) -> block i output."""
@@ -44,7 +51,7 @@ def _kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref, yr_ref, yi_ref,
     p = taps_per_band
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
-    win = t_blk + p - 1
+    win = _win_rows(t_blk, p)  # sublane-tiling-aligned DMA window
 
     def window_dma(slot, blk_idx):
         return (
@@ -112,10 +119,10 @@ def _pallas_fir_dft(
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     p, m = taps.shape
-    n_frames = xr.shape[0] - (p - 1)
+    win = _win_rows(block_frames, p)
+    n_frames = xr.shape[0] - (win - block_frames)
     assert n_frames % block_frames == 0
     n_blocks = n_frames // block_frames
-    win = block_frames + p - 1
 
     kernel = functools.partial(
         _kernel, block_frames=block_frames, taps_per_band=p
@@ -227,7 +234,7 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
     p = taps_per_band
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
-    win = t_blk + p - 1
+    win = _win_rows(t_blk, p)  # sublane-tiling-aligned DMA window
 
     def window_dma(slot, blk_idx):
         return (
@@ -289,10 +296,10 @@ def _pallas_fir_dft_streams(
     block_frames: int, scale: float, sat_level: float, interpret: bool = False,
 ):
     p, m = taps.shape
-    n_frames = xr.shape[0] - (p - 1)
+    win = _win_rows(block_frames, p)
+    n_frames = xr.shape[0] - (win - block_frames)
     assert n_frames % block_frames == 0
     n_blocks = n_frames // block_frames
-    win = block_frames + p - 1
 
     kernel = functools.partial(
         _streams_kernel, block_frames=block_frames, taps_per_band=p,
@@ -354,7 +361,8 @@ def pallas_channelize_streams(
     def prep(v):
         fr = v[..., : n_frames * m].reshape(n_frames, m)
         n_pad = (-n_frames) % block_frames
-        return jnp.pad(fr, ((p - 1, n_pad), (0, m_pad - m)))
+        tail = n_pad + (_win_rows(block_frames, p) - (block_frames + p - 1))
+        return jnp.pad(fr, ((p - 1, tail), (0, m_pad - m)))
 
     from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
 
@@ -389,6 +397,7 @@ def pallas_channelize(
     m_pad = _lane_pad(m)
 
     n_pad = (-n_frames) % block_frames
+    n_pad += _win_rows(block_frames, p) - (block_frames + p - 1)
     xr = jnp.real(frames).astype(jnp.float32)
     xi = jnp.imag(frames).astype(jnp.float32)
     pad = ((p - 1, n_pad), (0, m_pad - m))
