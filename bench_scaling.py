@@ -39,9 +39,22 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--chan-split", type=int, default=1,
                     help="channel-axis size of the mesh (rest goes to time)")
+    ap.add_argument("--cpu-devices", type=int, default=0,
+                    help="force a virtual CPU mesh of this many devices "
+                         "(the JAX_PLATFORMS env var is ignored on this box)")
     args = ap.parse_args()
 
+    import os
+
+    if args.cpu_devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu_devices}"
+        ).strip()
     import jax
+
+    if args.cpu_devices:
+        jax.config.update("jax_platforms", "cpu")
 
     from sdr_channelizer_tpu.config import PdwConfig
     from sdr_channelizer_tpu.dsp.channelizer import Channelizer
