@@ -126,16 +126,15 @@ def main() -> None:
         pdw_cfg=PdwConfig.channelized(max_pulses=512, max_pulse_samples=1024),
     )
     cap = _make_capture(n, args.bands)
-    # Flagship path: raw int16 I/Q planes with in-kernel dequant (the
-    # zero-copy ingest a recorder payload takes).
-    q = np.clip(np.round(cap.view(np.float32).reshape(-1, 2) * 2048), -2048,
-                2047).astype(np.int16)
-    xr16 = jax.device_put(np.ascontiguousarray(q[:, 0]), dev)
-    xi16 = jax.device_put(np.ascontiguousarray(q[:, 1]), dev)
+    # Flagship path: fused Pallas streams kernel on f32 planes.  (Raw int16
+    # ingest with in-kernel dequant exists — pipe.step_fused(bit_width=12) —
+    # but the int16 DMA path does not yet run on this TPU transport.)
+    xr = jax.device_put(np.ascontiguousarray(np.real(cap)), dev)
+    xi = jax.device_put(np.ascontiguousarray(np.imag(cap)), dev)
     x = jax.device_put(cap, dev)
 
     def fused_step(_):
-        return pipe.step_fused(xr16, xi16, bit_width=12)
+        return pipe.step_fused(xr, xi, bit_width=0)
 
     if args.stages:
         import jax.numpy as jnp
