@@ -94,9 +94,12 @@ def main() -> None:
         base = [sys.executable, os.path.abspath(__file__), "--inner",
                 "--bands", str(args.bands), "--frames", str(args.frames),
                 "--iters", str(args.iters)] + (["--stages"] if args.stages else [])
-        attempts = [(base, 3000)] if not args.cpu else []
+        # The TPU tunnel stays wedged for minutes after any failed run
+        # (its own or another process's) — retry with backoff before
+        # falling back to a labeled CPU measurement.
+        attempts = ([(base, 2400), (base, 2400)] if not args.cpu else [])
         attempts.append((base + ["--cpu"], 3000))
-        for cmd, tmo in attempts:
+        for k, (cmd, tmo) in enumerate(attempts):
             try:
                 res = subprocess.run(cmd, timeout=tmo, stdout=subprocess.PIPE)
                 out = res.stdout.decode()
@@ -106,6 +109,9 @@ def main() -> None:
                 print(f"bench: attempt failed (rc={res.returncode})", file=sys.stderr)
             except subprocess.TimeoutExpired:
                 print(f"bench: attempt timed out ({cmd[-1]})", file=sys.stderr)
+            if k + 1 < len(attempts) and "--cpu" not in attempts[k + 1][0]:
+                print("bench: waiting out possible tunnel wedge...", file=sys.stderr)
+                time.sleep(300)
         raise SystemExit(1)
 
     if args.cpu:
