@@ -94,11 +94,35 @@ class ChannelizerPipeline:
         )
         return nf, mag, batch
 
+    def forward_packed(
+        self, xq: jax.Array, bit_width: int
+    ) -> Tuple[jax.Array, jax.Array, PdwBatch]:
+        """Like :meth:`forward_fused` but on the raw recorder payload:
+        ``xq`` is the (N, 2) int16 I/Q buffer viewed as one int32 plane —
+        on-disk bytes straight to the device, deinterleave + dequant
+        in-kernel."""
+        from sdr_channelizer_tpu.ops.pallas.channelizer_kernel import (
+            pallas_channelize_streams_packed,
+        )
+
+        mag, ph, sat = pallas_channelize_streams_packed(
+            xq, self.channelizer.taps_rev, bit_width=bit_width,
+            sat_level=self.pdw_cfg.saturation_level,
+        )
+        nf = medians.median(mag, axis=0)
+        batch = pdwmod.extract_pdws_channelized_streams(
+            mag, ph, sat > 0.5, self.pdw_cfg, noise_floor=nf
+        )
+        return nf, mag, batch
+
     def __post_init__(self):
         self._jit_forward = jax.jit(self.forward)
         self._jit_forward_planes = jax.jit(self.forward_planes)
         self._jit_forward_fused = jax.jit(
             self.forward_fused, static_argnames=("bit_width",)
+        )
+        self._jit_forward_packed = jax.jit(
+            self.forward_packed, static_argnames=("bit_width",)
         )
 
     def step(self, x: jax.Array) -> Tuple[jax.Array, jax.Array, PdwBatch]:
@@ -118,11 +142,18 @@ class ChannelizerPipeline:
         fc: float = 0.0,
         sample_start_time: float = 0.0,
     ) -> dict:
-        """Raw (N, 2) integer payload -> host PDW dict via the fused kernel
-        (the zero-copy ingest path: int16 payload straight to the TPU)."""
-        xr = np.ascontiguousarray(samples[:, 0])
-        xi = np.ascontiguousarray(samples[:, 1])
-        _, _, batch = self.step_fused(xr, xi, bit_width=bit_width)
+        """Raw (N, 2) payload -> host PDW dict via the fused kernel.
+
+        int16 payloads go as the packed int32 plane (zero-copy view of the
+        on-disk bytes); float payloads go as planes."""
+        samples = np.ascontiguousarray(samples)
+        if samples.dtype == np.int16:
+            xq = samples.view(np.int32).ravel()
+            _, _, batch = self._jit_forward_packed(xq, bit_width=bit_width)
+        else:
+            xr = np.ascontiguousarray(samples[:, 0])
+            xi = np.ascontiguousarray(samples[:, 1])
+            _, _, batch = self.step_fused(xr, xi, bit_width=bit_width)
         m = self.channelizer.num_bands
         return pdwmod.finalize_pdws(
             batch,

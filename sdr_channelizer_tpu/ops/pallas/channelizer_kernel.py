@@ -221,7 +221,7 @@ def _atan2(y, x):
 def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
                     mag_ref, ph_ref, sat_ref, buf_r, buf_i, sems,
                     *, block_frames: int, taps_per_band: int,
-                    scale: float, sat_level: float):
+                    scale: float, sat_level: float, packed: bool = False):
     """Fused channelize + detection-stream kernel: int16 (or f32) planes in;
     magnitude, phase (degrees), and saturation-mask blocks out.
 
@@ -237,16 +237,18 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
     win = _win_rows(t_blk, p)  # sublane-tiling-aligned DMA window
 
     def window_dma(slot, blk_idx):
-        return (
+        copies = [
             pltpu.make_async_copy(
                 xr_ref.at[pl.ds(blk_idx * t_blk, win), :],
                 buf_r.at[slot], sems.at[slot, 0],
             ),
-            pltpu.make_async_copy(
+        ]
+        if not packed:
+            copies.append(pltpu.make_async_copy(
                 xi_ref.at[pl.ds(blk_idx * t_blk, win), :],
                 buf_i.at[slot], sems.at[slot, 1],
-            ),
-        )
+            ))
+        return copies
 
     slot = jax.lax.rem(i, 2)
     next_slot = jax.lax.rem(i + 1, 2)
@@ -270,8 +272,17 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
     for pp in range(p):
         tap = taps_ref[pp : pp + 1, :]  # (1, m): keep 2-D for Mosaic
         sl = slice(p - 1 - pp, p - 1 - pp + t_blk)
-        ur = ur + tap * (buf_r[slot, sl, :].astype(jnp.float32) * scale)
-        ui = ui + tap * (buf_i[slot, sl, :].astype(jnp.float32) * scale)
+        if packed:
+            # int32-packed int16 I/Q pair: low half = I, high half = Q
+            # (little-endian interleave), sign-extended by arithmetic shifts.
+            v = buf_r[slot, sl, :]
+            vi = ((v << 16) >> 16).astype(jnp.float32) * scale
+            vq = (v >> 16).astype(jnp.float32) * scale
+        else:
+            vi = buf_r[slot, sl, :].astype(jnp.float32) * scale
+            vq = buf_i[slot, sl, :].astype(jnp.float32) * scale
+        ur = ur + tap * vi
+        ui = ui + tap * vq
 
     wr = wr_ref[...]
     wi = wi_ref[...]
@@ -289,11 +300,12 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_frames", "scale", "sat_level", "interpret"),
+    static_argnames=("block_frames", "scale", "sat_level", "interpret", "packed"),
 )
 def _pallas_fir_dft_streams(
     xr, xi, taps, wr, wi, *,
     block_frames: int, scale: float, sat_level: float, interpret: bool = False,
+    packed: bool = False,
 ):
     p, m = taps.shape
     win = _win_rows(block_frames, p)
@@ -303,7 +315,7 @@ def _pallas_fir_dft_streams(
 
     kernel = functools.partial(
         _streams_kernel, block_frames=block_frames, taps_per_band=p,
-        scale=scale, sat_level=sat_level,
+        scale=scale, sat_level=sat_level, packed=packed,
     )
     out_block = pl.BlockSpec((block_frames, m), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -372,6 +384,46 @@ def pallas_channelize_streams(
         prep(xr), prep(xi), taps_p, wr_p, wi_p,
         block_frames=block_frames, scale=scale, sat_level=float(sat_level),
         interpret=interpret,
+    )
+    return mag[:n_frames, :m], ph[:n_frames, :m], sat[:n_frames, :m]
+
+
+def pallas_channelize_streams_packed(
+    xq: jax.Array,
+    taps_rev: np.ndarray,
+    bit_width: int = 12,
+    sat_level: float = 0.9999,
+    shift: bool = True,
+    block_frames: int = 1024,
+    interpret: bool = False,
+):
+    """Packed-payload variant of :func:`pallas_channelize_streams`.
+
+    ``xq``: 1-D int32 plane where each element packs one interleaved int16
+    (I, Q) pair — exactly ``samples.view(np.int32)`` of an ``(N, 2)`` int16
+    recorder payload, so the on-disk bytes go to the device untouched and
+    the kernel does the sign-extension and Q-format dequant.  Half the
+    host->device traffic of the f32-planes path.
+    """
+    p, m = taps_rev.shape
+    n_frames = xq.shape[-1] // m
+    scale = float(2.0 ** -(bit_width - 1))
+    interpret = interpret or jax.devices()[0].platform == "cpu"
+    m_pad = _lane_pad(m)
+
+    fr = xq[..., : n_frames * m].reshape(n_frames, m)
+    n_pad = (-n_frames) % block_frames
+    tail = n_pad + (_win_rows(block_frames, p) - (block_frames + p - 1))
+    fr = jnp.pad(fr, ((p - 1, tail), (0, m_pad - m)))
+
+    from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
+
+    w = dft_matrix(m, shifted=shift)
+    taps_p, wr_p, wi_p = _pad_weights(taps_rev, w, m_pad)
+    mag, ph, sat = _pallas_fir_dft_streams(
+        fr, fr, taps_p, wr_p, wi_p,
+        block_frames=block_frames, scale=scale, sat_level=float(sat_level),
+        interpret=interpret, packed=True,
     )
     return mag[:n_frames, :m], ph[:n_frames, :m], sat[:n_frames, :m]
 
