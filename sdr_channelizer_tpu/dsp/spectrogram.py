@@ -49,12 +49,17 @@ def stft_power(
     frames = iq.shape[-1] // length
     x = iq[..., : frames * length].reshape(*iq.shape[:-1], frames, length)
     if resolve_method(method) == "dft":
-        wmat = jnp.asarray(dft_matrix(length, shifted=True)) * w[:, None].astype(
-            jnp.complex64
-        )
-        spec = x @ wmat
-    else:
-        spec = jnp.fft.fftshift(jnp.fft.fft(x * w, axis=-1), axes=-1)
+        # Complex-free windowed DFT (four real MXU matmuls) — the TPU
+        # transport here cannot lower FFTs or complex matmuls.
+        wm = np.asarray(dft_matrix(length, shifted=True)) * np.asarray(w)[:, None]
+        wr = jnp.asarray(np.real(wm).astype(np.float32))
+        wi = jnp.asarray(np.imag(wm).astype(np.float32))
+        xr = jnp.real(x).astype(jnp.float32)
+        xi = jnp.imag(x).astype(jnp.float32)
+        sr = xr @ wr - xi @ wi
+        si = xr @ wi + xi @ wr
+        return (sr * sr + si * si).astype(jnp.float32)
+    spec = jnp.fft.fftshift(jnp.fft.fft(x * w, axis=-1), axes=-1)
     return jnp.square(jnp.abs(spec)).astype(jnp.float32)
 
 

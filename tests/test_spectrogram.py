@@ -53,3 +53,19 @@ def test_save_png(tmp_path):
     data = out.read_bytes()
     assert data[:8] == b"\x89PNG\r\n\x1a\n"
     assert len(data) > 1000
+
+
+def test_stft_dft_matches_fft():
+    """The complex-free DFT branch (TPU path) equals the FFT oracle."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sdr_channelizer_tpu.config import SpectrogramConfig
+    from sdr_channelizer_tpu.dsp.spectrogram import stft_power
+
+    rng = np.random.default_rng(0)
+    iq = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)
+          ).astype(np.complex64)
+    cfg = SpectrogramConfig(window_length=256)
+    a = np.asarray(stft_power(jnp.asarray(iq), cfg=cfg, method="fft"))
+    b = np.asarray(stft_power(jnp.asarray(iq), cfg=cfg, method="dft"))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-4)
