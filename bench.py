@@ -137,7 +137,8 @@ def main() -> None:
     # but the int16 DMA path does not yet run on this TPU transport.)
     xr = jax.device_put(np.ascontiguousarray(np.real(cap)), dev)
     xi = jax.device_put(np.ascontiguousarray(np.imag(cap)), dev)
-    x = jax.device_put(cap, dev)
+    # NOTE: no complex arrays touch the device — complex h2d/d2h is
+    # unimplemented on the TPU transport and poisons later fetches.
 
     def fused_step(_):
         return pipe.step_fused(xr, xi, bit_width=0)
@@ -145,25 +146,28 @@ def main() -> None:
     if args.stages:
         import jax.numpy as jnp
 
-        from sdr_channelizer_tpu.dsp.channelizer import channelize
         from sdr_channelizer_tpu.dsp import pdw as pdwmod
         from sdr_channelizer_tpu.ops import medians
-
-        f_ch = jax.jit(lambda v: channelize(v, pipe.channelizer))
-        dt = _time_fn(f_ch, x, args.iters)
-        print(f"bench: channelize   {n/dt/1e6:10.1f} Msps  ({dt*1e3:.2f} ms)",
-              file=sys.stderr)
-        y = f_ch(x)
-        f_nf = jax.jit(lambda v: medians.median(jnp.abs(v), axis=0))
-        dt = _time_fn(f_nf, y, args.iters)
-        print(f"bench: noise floor  {n/dt/1e6:10.1f} Msps  ({dt*1e3:.2f} ms)",
-              file=sys.stderr)
-        nf = f_nf(y)
-        f_pdw = jax.jit(
-            lambda v: pdwmod.extract_pdws_channelized(v, pipe.pdw_cfg, noise_floor=nf)
+        from sdr_channelizer_tpu.ops.pallas.channelizer_kernel import (
+            pallas_channelize_streams,
         )
-        dt = _time_fn(f_pdw, y, args.iters)
-        print(f"bench: pdw extract  {n/dt/1e6:10.1f} Msps  ({dt*1e3:.2f} ms)",
+
+        f_ch = jax.jit(lambda a, b: pallas_channelize_streams(
+            a, b, pipe.channelizer.taps_rev))
+        streams = f_ch(xr, xi)
+        dt = _time_fn(lambda _: f_ch(xr, xi), None, args.iters)
+        print(f"bench: streams kernel {n/dt/1e6:10.1f} Msps  ({dt*1e3:.2f} ms)",
+              file=sys.stderr)
+        mag, ph, sat = streams
+        f_nf = jax.jit(lambda v: medians.median(v, axis=0))
+        dt = _time_fn(f_nf, mag, args.iters)
+        print(f"bench: noise floor    {n/dt/1e6:10.1f} Msps  ({dt*1e3:.2f} ms)",
+              file=sys.stderr)
+        nf = f_nf(mag)
+        f_pdw = jax.jit(lambda a, b, c: pdwmod.extract_pdws_channelized_streams(
+            a, b, c > 0.5, pipe.pdw_cfg, noise_floor=nf))
+        dt = _time_fn(lambda _: f_pdw(mag, ph, sat), None, args.iters)
+        print(f"bench: pdw extract    {n/dt/1e6:10.1f} Msps  ({dt*1e3:.2f} ms)",
               file=sys.stderr)
 
     t_compile0 = time.perf_counter()
