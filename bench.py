@@ -97,8 +97,8 @@ def main() -> None:
         # The TPU tunnel stays wedged for minutes after any failed run
         # (its own or another process's) — retry with backoff before
         # falling back to a labeled CPU measurement.
-        attempts = ([(base, 2400), (base, 2400)] if not args.cpu else [])
-        attempts.append((base + ["--cpu"], 3000))
+        attempts = ([(base, 1500), (base, 1200)] if not args.cpu else [])
+        attempts.append((base + ["--cpu"], 1800))
         for k, (cmd, tmo) in enumerate(attempts):
             try:
                 res = subprocess.run(cmd, timeout=tmo, stdout=subprocess.PIPE)
