@@ -477,17 +477,29 @@ def extract_pdws(
     iq: jax.Array,
     cfg: PdwConfig,
     noise_floor: Optional[jax.Array] = None,
+    stats: str = "auto",
 ) -> PdwBatch:
     """Wideband PDW extraction from a 1-D complex capture.
 
     ``pw_sec`` / ``freq_offset_hz`` in the returned batch are in units of
     samples and cycles-per-sample respectively; :func:`finalize_pdws` scales
     them by the true ``fs`` on the host (keeps the jitted core
-    rate-agnostic).
+    rate-agnostic).  ``stats`` as in :func:`extract_pdws_channelized_streams`
+    — off-CPU the per-pulse medians run in the ``pulse_stats`` Pallas
+    kernel (wideband is its one-channel case; captures past 2^24 samples
+    per block must go through the streaming layer there).
     """
     mag, phase_deg, sat = _prep_streams(iq, cfg.saturation_level)
     if noise_floor is None:
         noise_floor = medians.median(mag)
+    if stats == "auto":
+        stats = "pallas" if medians.use_sort_free() else "xla"
+    if stats == "pallas":
+        batch = _extract_channelized_pallas_stats(
+            mag[:, None], phase_deg[:, None], sat[:, None], cfg,
+            jnp.reshape(noise_floor, (1,)),
+        )
+        return jax.tree.map(lambda v: v[0] if getattr(v, "ndim", 0) else v, batch)
     return extract_pdws_core(
         mag,
         phase_deg,

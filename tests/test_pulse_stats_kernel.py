@@ -99,3 +99,30 @@ def test_channelized_extraction_pallas_stats_parity():
                                np.asarray(ref.freq_offset_hz), rtol=3e-7)
     np.testing.assert_allclose(np.asarray(got.snr_db), np.asarray(ref.snr_db),
                                rtol=0, atol=2e-5)
+
+
+def test_wideband_extraction_pallas_stats_parity():
+    """Wideband (M=1) extraction through the Pallas stats path == XLA."""
+    from sdr_channelizer_tpu.config import PdwConfig
+    from sdr_channelizer_tpu.dsp import pdw as pdwmod
+
+    rng = np.random.default_rng(3)
+    n = 65536
+    t = np.arange(n)
+    iq = (1e-3 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+          ).astype(np.complex64)
+    tone = np.exp(2j * np.pi * 0.083 * t).astype(np.complex64)
+    for s in range(500, n - 900, 4000):
+        iq[s:s + 700] = tone[s:s + 700]
+    cfg = PdwConfig.wideband(max_pulses=64, max_pulse_samples=1024)
+    ref = pdwmod.extract_pdws(jnp.asarray(iq), cfg, stats="xla")
+    got = pdwmod.extract_pdws(jnp.asarray(iq), cfg, stats="pallas")
+    assert int(np.asarray(got.count)) == int(np.asarray(ref.count)) > 10
+    np.testing.assert_array_equal(np.asarray(got.toa_idx), np.asarray(ref.toa_idx))
+    np.testing.assert_array_equal(np.asarray(got.te_idx), np.asarray(ref.te_idx))
+    np.testing.assert_array_equal(np.asarray(got.mag), np.asarray(ref.mag))
+    np.testing.assert_array_equal(np.asarray(got.saturated), np.asarray(ref.saturated))
+    np.testing.assert_allclose(np.asarray(got.freq_offset_hz),
+                               np.asarray(ref.freq_offset_hz), rtol=3e-7)
+    np.testing.assert_allclose(np.asarray(got.snr_db), np.asarray(ref.snr_db),
+                               rtol=0, atol=2e-5)
