@@ -172,7 +172,10 @@ def extract_pdws_core(
     # trail_edge[jj] is True exactly at the reference's `jj`.
     toa_idx = _edge_indices(lead_edge, max_pulses)
     te_idx = _edge_indices(trail_edge, max_pulses)
-    count = jnp.sum(trail_edge).astype(jnp.int32)
+    # Clamp to capacity: a capture with more pulses than slots silently drops
+    # the overflow, and ``count`` must agree with the number of valid slots
+    # (consumers sum counts across blocks/channels).
+    count = jnp.minimum(jnp.sum(trail_edge), max_pulses).astype(jnp.int32)
     valid = jnp.arange(max_pulses) < count
     return _emit_batch(
         mag, phase_deg, sat_sample, noise_floor, toa_idx, te_idx, valid, count, w
@@ -373,7 +376,7 @@ def extract_pdws_channelized_streams(
     if noise_floor is None:
         noise_floor = medians.median(mag, axis=0)
     if stats == "auto":
-        stats = "pallas" if medians.use_sort_free() else "xla"
+        stats = "pallas" if _pallas_stats_ok(mag.shape[0], cfg) else "xla"
     if stats == "pallas":
         return _extract_channelized_pallas_stats(
             mag, phase_deg, sat, cfg, noise_floor
@@ -389,19 +392,46 @@ def extract_pdws_channelized_streams(
     return jax.vmap(core, in_axes=(1, 1, 1, 0))(mag, phase_deg, sat, noise_floor)
 
 
+def _pallas_stats_ok(t_len: int, cfg: PdwConfig) -> bool:
+    """True when the ``stats="auto"`` path should use the ``pulse_stats``
+    Pallas kernel: sort-free backend AND the block satisfies the kernel's
+    static shape constraints (else fall back to the XLA formulation instead
+    of crashing at trace time — too-short CLI captures, or single blocks
+    past 2^24 samples)."""
+    from sdr_channelizer_tpu.ops.pallas.pulse_stats_kernel import (
+        stats_kernel_feasible,
+    )
+
+    return medians.use_sort_free() and stats_kernel_feasible(
+        int(t_len), cfg.max_pulse_samples
+    )
+
+
 def _extract_channelized_pallas_stats(
     mag: jax.Array,
     phase_deg: jax.Array,
     sat: jax.Array,
     cfg: PdwConfig,
     noise_floor: jax.Array,
+    entry_active: Optional[jax.Array] = None,
+    own_len: Optional[int] = None,
 ) -> PdwBatch:
     """Channelized extraction with edge detection in XLA and per-pulse
     statistics in the ``pulse_stats`` Pallas kernel.  Emits the same batch
-    as the XLA path (identical order statistics)."""
+    as the XLA path (identical order statistics).
+
+    ``entry_active``/``own_len`` give this path the same time-block contract
+    as :func:`extract_pdws_block_core`: the streams cover ``own_len`` owned
+    samples plus a right halo, the latch enters in ``entry_active``, and only
+    pulses whose leading edge is owned are emitted (trailing edges and
+    statistics may extend into the halo).  Defaults reproduce the
+    whole-capture behavior (latch starts inactive, everything owned).
+    """
     from sdr_channelizer_tpu.ops.pallas.pulse_stats_kernel import TILE, pulse_stats
 
     t_len, m = mag.shape
+    own = t_len if own_len is None else own_len
+    entry = jnp.zeros((m,), bool) if entry_active is None else entry_active
     max_pulses = cfg.max_pulses
     w = cfg.max_pulse_samples
     p_slots = ((max_pulses + TILE - 1) // TILE) * TILE
@@ -414,25 +444,31 @@ def _extract_channelized_pallas_stats(
 
     ge_lead = mag >= lead_thresh[None, :]
     le_trail = mag <= trail_thresh[None, :]
-    state = hysteresis_scan(ge_lead, le_trail, axis=0)
-    prev = jnp.concatenate([jnp.zeros((1, m), bool), state[:-1]])
+    a, b = hysteresis_fns(ge_lead, le_trail, axis=0)
+    state = jnp.where(entry[None, :], b, a)
+    prev = jnp.concatenate([entry[None, :], state[:-1]])
     lead_edge = state & ~prev
     trail_edge = ~state & prev
+    owned_lead = lead_edge & (jnp.arange(t_len)[:, None] < own)
 
     # Edge positions via searchsorted on the rank cumsum: the r-th edge is
     # the first t with cumsum >= r+1, and slots past the count come back as
     # t_len — the same sentinel semantics as _edge_indices, but gather-based
     # (binary search) instead of a scatter, which is an order of magnitude
-    # faster on TPU.
+    # faster on TPU.  When the block enters active, the first trailing edge
+    # closes the previous block's pulse — skip it (latch events alternate).
     ranks = jnp.arange(1, p_slots + 1, dtype=jnp.int32)
 
-    def find_edges(edge_col):
+    def find_edges(edge_col, skip):
         csum = jnp.cumsum(edge_col.astype(jnp.int32))
-        return jnp.searchsorted(csum, ranks, side="left").astype(jnp.int32)
+        return jnp.searchsorted(csum, ranks + skip, side="left").astype(jnp.int32)
 
-    toa_idx = jax.vmap(find_edges, in_axes=1)(lead_edge)  # (M, p_slots)
-    te_idx = jax.vmap(find_edges, in_axes=1)(trail_edge)
-    count = jnp.sum(trail_edge, axis=0).astype(jnp.int32)
+    zeros_m = jnp.zeros((m,), jnp.int32)
+    toa_idx = jax.vmap(find_edges, in_axes=(1, 0))(owned_lead, zeros_m)
+    te_idx = jax.vmap(find_edges, in_axes=(1, 0))(trail_edge, entry.astype(jnp.int32))
+    n_own = jnp.sum(owned_lead, axis=0).astype(jnp.int32)
+    matched = (jnp.arange(p_slots)[None, :] < n_own[:, None]) & (te_idx < t_len)
+    count = jnp.minimum(jnp.sum(matched, axis=1), max_pulses).astype(jnp.int32)
     valid = jnp.arange(p_slots)[None, :] < count[:, None]
 
     # Channel-major streams for the stats kernel.
@@ -462,6 +498,72 @@ def _extract_channelized_pallas_stats(
     )
 
 
+def _extract_wideband_blocked(
+    mag: jax.Array,
+    phase_deg: jax.Array,
+    sat: jax.Array,
+    cfg: PdwConfig,
+    noise_floor: jax.Array,
+    block_len: int = 1 << 23,
+) -> PdwBatch:
+    """Wideband extraction of captures past the ``pulse_stats`` kernel's
+    2^24-sample block bound: blockwise over the time axis with the latch
+    carried by transfer-function composition and a ``max_pulse_samples``
+    right halo — the in-memory form of ``dsp.streaming``'s contract, with
+    per-pulse statistics on the Pallas kernel per block.
+
+    Bit-identical to the single-shot extractor for pulses no longer than the
+    halo (same contract as :class:`dsp.streaming.StreamingExtractor`); a
+    pulse open at capture end is never emitted (``create_pdws.m`` rule,
+    enforced with a +inf magnitude pad).
+    """
+    t_len = mag.shape[0]
+    halo = cfg.max_pulse_samples
+    nf = jnp.reshape(noise_floor, (1,))
+    entry = jnp.zeros((1,), bool)
+    n_blocks = (t_len + block_len - 1) // block_len
+
+    names = [f.name for f in dataclasses.fields(PdwBatch) if f.name != "count"]
+    pulses = {n: [] for n in names}
+    for k in range(n_blocks):
+        s0 = k * block_len
+        s1 = min(s0 + block_len, t_len)
+        h1 = min(s1 + halo, t_len)
+        mag_e, ph_e, sat_e = mag[s0:h1], phase_deg[s0:h1], sat[s0:h1]
+        if h1 == t_len:  # capture ends inside this view: open pulses die
+            mag_e = jnp.concatenate([mag_e, jnp.full((1,), jnp.inf, mag_e.dtype)])
+            ph_e = jnp.concatenate([ph_e, jnp.zeros((1,), ph_e.dtype)])
+            sat_e = jnp.concatenate([sat_e, jnp.zeros((1,), bool)])
+        batch = _extract_channelized_pallas_stats(
+            mag_e[:, None], ph_e[:, None], sat_e[:, None], cfg, nf,
+            entry_active=entry, own_len=s1 - s0,
+        )
+        a, b = block_transfer(
+            mag[s0:s1][None, :], nf[:, None],
+            cfg.snr_threshold_db, cfg.trailing_threshold_db,
+        )
+        entry = jnp.where(entry, b, a)
+        sel = np.asarray(batch.valid[0])
+        for n in names:
+            v = np.asarray(getattr(batch, n)[0])[sel]
+            if n in ("toa_idx", "te_idx"):
+                v = v + np.int32(s0)
+            pulses[n].append(v)
+
+    cat = {n: np.concatenate(pulses[n])[: cfg.max_pulses] for n in names}
+    total = len(cat["toa_idx"])
+    pad = cfg.max_pulses - total
+
+    def _pad(v, fill):
+        return jnp.asarray(np.concatenate([v, np.full(pad, fill, v.dtype)]))
+
+    fills = {"toa_idx": -1, "te_idx": -1, "valid": False, "saturated": False}
+    return PdwBatch(
+        count=jnp.int32(total),
+        **{n: _pad(cat[n], fills.get(n, 0)) for n in names},
+    )
+
+
 def extract_pdws_channelized_planes(
     yr: jax.Array,
     yi: jax.Array,
@@ -486,14 +588,26 @@ def extract_pdws(
     them by the true ``fs`` on the host (keeps the jitted core
     rate-agnostic).  ``stats`` as in :func:`extract_pdws_channelized_streams`
     — off-CPU the per-pulse medians run in the ``pulse_stats`` Pallas
-    kernel (wideband is its one-channel case; captures past 2^24 samples
-    per block must go through the streaming layer there).
+    kernel (wideband is its one-channel case); captures past the kernel's
+    2^24-sample block bound route automatically through blockwise
+    extraction with the latch carried across blocks
+    (:func:`_extract_wideband_blocked`).
     """
     mag, phase_deg, sat = _prep_streams(iq, cfg.saturation_level)
     if noise_floor is None:
         noise_floor = medians.median(mag)
+    too_long = mag.shape[-1] >= (1 << 24)
     if stats == "auto":
-        stats = "pallas" if medians.use_sort_free() else "xla"
+        if _pallas_stats_ok(mag.shape[-1], cfg):
+            stats = "pallas"
+        elif too_long and medians.use_sort_free():
+            stats = "blocked"  # kernel-feasible blocks, latch carried across
+        else:
+            stats = "xla"
+    elif stats == "pallas" and too_long:
+        stats = "blocked"
+    if stats == "blocked":
+        return _extract_wideband_blocked(mag, phase_deg, sat, cfg, noise_floor)
     if stats == "pallas":
         batch = _extract_channelized_pallas_stats(
             mag[:, None], phase_deg[:, None], sat[:, None], cfg,

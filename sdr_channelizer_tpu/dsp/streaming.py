@@ -24,10 +24,11 @@ in windows (``channelizer_example.m:33-50``).  This module formalizes both:
 
 Noise floors: the reference uses the median over the *whole* capture
 (``create_pdws_channelized.m:73``), which no single streaming pass can
-produce.  ``noise_floor="two_pass"`` (default) channelizes twice — once to
-measure floors, once to detect — preserving exact parity;
-``"first_block"`` estimates from the first block only (single pass,
-approximate); or pass precomputed per-channel floors.
+produce.  ``noise_floor="two_pass"`` (default) measures exact floors with
+two streamed counting passes (O(block) memory, see
+:meth:`StreamingExtractor.measure_noise_floor`), then detects — preserving
+exact parity; ``"first_block"`` estimates from the first block only
+(single pass, approximate); or pass precomputed per-channel floors.
 """
 
 from __future__ import annotations
@@ -45,6 +46,21 @@ from sdr_channelizer_tpu.dsp import pdw as pdwmod
 from sdr_channelizer_tpu.ops import medians
 from sdr_channelizer_tpu.dsp.channelizer import Channelizer
 from sdr_channelizer_tpu.io import iqpacket
+
+
+def _sortable_u32_np(x: np.ndarray) -> np.ndarray:
+    """Order-preserving f32 -> u32 keys (numpy twin of
+    ``ops.medians._sortable_u32``; same total order, NaNs sort high)."""
+    u = np.ascontiguousarray(x, np.float32).view(np.uint32)
+    neg = (u >> np.uint32(31)) == 1
+    return np.where(neg, ~u, u | np.uint32(0x80000000))
+
+
+def _u32_to_f32_np(u: np.ndarray) -> np.ndarray:
+    u = np.atleast_1d(np.ascontiguousarray(u, np.uint32))
+    neg = (u >> np.uint32(31)) == 0
+    raw = np.where(neg, ~u, u & np.uint32(0x7FFFFFFF))
+    return raw.view(np.float32)
 
 
 @dataclasses.dataclass
@@ -155,6 +171,19 @@ class StreamingExtractor:
 
     def __post_init__(self):
         self._halo = self.halo_frames or self.pdw_cfg.max_pulse_samples
+        if self.block_frames < self._halo:
+            # The one-block lookahead is the halo; shorter blocks would
+            # silently truncate it below the longest pulse and break the
+            # bit-exact stitching contract for boundary-straddling pulses.
+            import warnings
+
+            warnings.warn(
+                f"block_frames={self.block_frames} is shorter than the "
+                f"detection halo ({self._halo} frames): pulses straddling "
+                f"block boundaries may be dropped; increase block_frames or "
+                f"reduce max_pulse_samples/halo_frames",
+                stacklevel=2,
+            )
         cfg = self.pdw_cfg
 
         @functools.partial(jax.jit, static_argnames=("own_len",))
@@ -201,12 +230,75 @@ class StreamingExtractor:
             )
             yield y
 
-    def measure_noise_floor(self, sample_blocks: Iterator[np.ndarray]) -> np.ndarray:
-        """Per-channel median magnitude over the whole stream (pass 1 of the
-        exact two-pass mode).  Collects per-block magnitudes on host —
-        median is not streaming-composable."""
-        mags = [np.abs(np.asarray(y)) for y in self._channelized_blocks(sample_blocks)]
-        return np.median(np.concatenate(mags, axis=0), axis=0)
+    def measure_noise_floor(self, make_sample_blocks) -> np.ndarray:
+        """Exact per-channel median magnitude over the whole stream in
+        O(block) memory (pass 1 of the exact two-pass mode).
+
+        The median is not streaming-composable and materializing every
+        block's magnitudes would defeat the purpose of streaming captures
+        too large for memory; instead the selection runs as **two counting
+        passes over the order-preserving u32 key space** — the streamed
+        form of ``ops.medians``' radix selection.  Pass A histograms the
+        top 16 key bits per channel, locating the 64Ki-key bucket holding
+        each middle order statistic; pass B histograms the low 16 bits
+        within those buckets only.  Identical order statistics and
+        mean-of-two-middles as ``medians.median`` / ``np.median``
+        (``create_pdws_channelized.m:73`` exactness contract).
+
+        ``make_sample_blocks``: zero-arg callable returning a fresh
+        sample-block iterator (consumed twice).
+        """
+        bins = 1 << 16
+        hist_hi = None
+        n_total = 0
+        for y in self._channelized_blocks(make_sample_blocks()):
+            keys = _sortable_u32_np(np.abs(np.asarray(y)))  # (T, M)
+            m = keys.shape[1]
+            if hist_hi is None:
+                hist_hi = np.zeros((m, bins), np.int64)
+            flat = (keys >> np.uint32(16)).astype(np.int64) + np.arange(m) * bins
+            hist_hi += np.bincount(flat.ravel(), minlength=m * bins).reshape(m, bins)
+            n_total += keys.shape[0]
+        if not n_total:
+            raise ValueError("empty sample stream: no samples to measure")
+        m = hist_hi.shape[0]
+
+        ks = (max((n_total - 1) // 2, 0), n_total // 2)  # lo/hi middle ranks
+        cum = np.cumsum(hist_hi, axis=1)
+        # For channel c and rank k: the hi-bucket holding the k-th smallest
+        # key, and the count of keys in strictly lower buckets.
+        need = {}  # (channel, bucket) -> row in hist_lo
+        locs = np.empty((m, 2), np.int64)  # bucket per (channel, rank)
+        below = np.empty((m, 2), np.int64)
+        for c in range(m):
+            for j, k in enumerate(ks):
+                b = int(np.searchsorted(cum[c], k + 1, side="left"))
+                locs[c, j] = b
+                below[c, j] = int(cum[c, b - 1]) if b else 0
+                need.setdefault((c, b), len(need))
+
+        hist_lo = np.zeros((len(need), bins), np.int64)
+        for y in self._channelized_blocks(make_sample_blocks()):
+            keys = _sortable_u32_np(np.abs(np.asarray(y)))
+            for (c, b), row in need.items():
+                col = keys[:, c]
+                sel = col[(col >> np.uint32(16)) == b]
+                if sel.size:
+                    hist_lo[row] += np.bincount(
+                        (sel & np.uint32(0xFFFF)).astype(np.int64), minlength=bins
+                    )
+
+        vals = np.empty((m, 2), np.float32)
+        for c in range(m):
+            for j in range(2):
+                b = locs[c, j]
+                cl = np.cumsum(hist_lo[need[(c, b)]])
+                r = ks[j] - below[c, j]
+                low = int(np.searchsorted(cl, r + 1, side="left"))
+                vals[c, j] = _u32_to_f32_np(
+                    np.uint32((b << 16) | low)
+                )[0]
+        return np.float32(0.5) * (vals[:, 0] + vals[:, 1])
 
     def extract(
         self,
@@ -218,12 +310,12 @@ class StreamingExtractor:
         noise_floor: Union[str, np.ndarray] = "two_pass",
     ) -> dict:
         """Run the stream; returns the host PDW dict (absolute TOAs/freqs)."""
-        m = self.channelizer.num_bands
+        m = 1 if self.channelizer is None else self.channelizer.num_bands
         cfg = self.pdw_cfg
         halo = self._halo
 
         if isinstance(noise_floor, str) and noise_floor == "two_pass":
-            nf = jnp.asarray(self.measure_noise_floor(make_sample_blocks()))
+            nf = jnp.asarray(self.measure_noise_floor(make_sample_blocks))
         elif isinstance(noise_floor, str) and noise_floor == "first_block":
             nf = None  # set from the first block below
         else:
@@ -244,12 +336,26 @@ class StreamingExtractor:
                 mag_e, ph_e, sat_e, nf, entry, own_len=own_len
             )
 
+        short_halo = False  # last flush's halo was truncated by a short block
         for y in self._channelized_blocks(make_sample_blocks()):
             mag, ph, sat = pdwmod._prep_streams(y, cfg.saturation_level)
             if nf is None:
                 nf = medians.median(mag, axis=0)
             if pending is not None:
+                if short_halo:
+                    # The previous flush saw a halo shorter than the longest
+                    # pulse AND the short block was not the final one — a
+                    # pulse straddling the whole short block may be dropped.
+                    import warnings
+
+                    warnings.warn(
+                        f"a sample block shorter than the detection halo "
+                        f"({halo} frames) arrived mid-stream: pulses "
+                        f"straddling it may be dropped; use blocks of at "
+                        f"least halo length", stacklevel=2,
+                    )
                 h = min(halo, mag.shape[0])
+                short_halo = h < halo
                 batch, a, b = flush(
                     pending, (mag[:h], ph[:h], sat[:h]), pending[0].shape[0], entry
                 )
@@ -321,7 +427,9 @@ class StreamingExtractor:
                 nf = jnp.asarray(np.load(nf_path)["nf"])
             else:
                 nf = jnp.asarray(
-                    self.measure_noise_floor(segment.iter_samples(block * m))
+                    self.measure_noise_floor(
+                        lambda: segment.iter_samples(block * m)
+                    )
                 )
                 if nf_path:
                     np.savez(nf_path, nf=np.asarray(nf))

@@ -203,6 +203,20 @@ def _stats_kernel(toa_sm, te_sm, mag_hbm, dph_hbm, sat_hbm,
 
 
 
+def stats_kernel_feasible(t_len: int, window: int) -> bool:
+    """Static-shape constraints of :func:`pulse_stats`.
+
+    The kernel broadcasts sample indices through f32 matmuls (exact only
+    below 2^24) and DMAs ``ceil(window/128)+1`` whole 128-lane rows per
+    pulse, so the stored stream must hold at least that many rows.  Callers
+    on the ``stats="auto"`` path fall back to the XLA formulation when this
+    returns False (short captures, or blocks past 0.3 s at the reference's
+    56 Msps — route those through ``dsp.streaming``)."""
+    rows = (window + LANES - 1) // LANES + 1
+    t_stored = ((t_len + LANES - 1) // LANES) * LANES
+    return t_len < (1 << 24) and t_stored >= rows * LANES
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("window", "interpret"),
@@ -225,7 +239,14 @@ def pulse_stats(
     m, t_len = mag_cm.shape
     p_slots = toa.shape[1]
     assert p_slots % TILE == 0, p_slots
-    assert t_len < (1 << 24), t_len
+    if not stats_kernel_feasible(t_len, window):
+        raise ValueError(
+            f"pulse_stats cannot run on a {t_len}-sample block with "
+            f"window={window}: blocks must be < 2^24 samples (f32-exact "
+            f"index arithmetic) and at least (ceil(window/128)+1)*128 "
+            f"samples (whole-row DMA windows).  Use stats='xla', or stream "
+            f"long captures in blocks (dsp.streaming)."
+        )
     # Row-pad the time axis to whole 128-lane rows (mask excludes the pad).
     t_pad = (-t_len) % LANES
     if t_pad:
@@ -235,7 +256,6 @@ def pulse_stats(
         sat_cm = jnp.pad(sat_cm, pad)
     t_stored = t_len + t_pad
     rows = (window + LANES - 1) // LANES + 1
-    assert t_stored >= rows * LANES, (t_stored, rows)
     view = (m, t_stored // LANES, LANES)
     g = TILE * rows
     m_lanes = max(((m + LANES - 1) // LANES) * LANES, LANES)

@@ -55,6 +55,28 @@ from sdr_channelizer_tpu.dsp.pdw import PdwBatch
 from sdr_channelizer_tpu.parallel.mesh import CHAN_AXIS, TIME_AXIS
 
 
+def _cap_halo(halo: int, t_loc: int) -> int:
+    """Cap the stitching halo at the shard block length, loudly.
+
+    The bit-exact stitching contract requires the halo to exceed the
+    longest pulse; when shard blocks are shorter than that, boundary-
+    straddling pulses may be dropped relative to the single-device
+    extractor — warn instead of silently shrinking.
+    """
+    if halo > t_loc:
+        import warnings
+
+        warnings.warn(
+            f"requested PDW stitching halo ({halo} frames) exceeds the "
+            f"per-shard block length ({t_loc} frames); capping to {t_loc}. "
+            f"Pulses longer than the block may be dropped at shard "
+            f"boundaries — use fewer/longer time shards or a smaller "
+            f"max_pulse_samples", stacklevel=3,
+        )
+        return t_loc
+    return halo
+
+
 def _fwd_perm(n: int):
     """ppermute pairs sending each shard's data to its right neighbor."""
     return [(j, j + 1) for j in range(n - 1)]
@@ -178,8 +200,7 @@ class ShardedPipeline:
                 f"{n_time} time shards of whole {m}-sample frames"
             )
         t_loc = n_samples // (n_time * m)
-        halo = self.halo_frames or self.pdw_cfg.max_pulse_samples
-        halo = min(halo, t_loc)
+        halo = _cap_halo(self.halo_frames or self.pdw_cfg.max_pulse_samples, t_loc)
         m_loc = m // n_chan
 
         chan_local = _build_channelize_local(self.channelizer, n_time, n_chan, t_loc)
@@ -283,7 +304,7 @@ def sharded_extract_pdws(
     if n % n_time:
         raise ValueError(f"{n} samples not divisible by {n_time} time shards")
     t_loc = n // n_time
-    halo = min(halo_samples or cfg.max_pulse_samples, t_loc)
+    halo = _cap_halo(halo_samples or cfg.max_pulse_samples, t_loc)
     pdw_local = _build_pdw_local(cfg, n_time, t_loc, halo, m_loc=1)
     batch_specs = PdwBatch(
         **{f.name: P(TIME_AXIS, CHAN_AXIS) for f in dataclasses.fields(PdwBatch)}

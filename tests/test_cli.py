@@ -40,7 +40,7 @@ def test_convert_npz_and_mat(capture_file, tmp_path):
     from scipy.io import loadmat
 
     m = loadmat(tmp_path / (capture_file.stem + ".mat"))
-    assert float(m["fs"]) == 8e6
+    assert float(m["fs"].squeeze()) == 8e6
 
 
 def test_convert_legacy_bin(tmp_path):

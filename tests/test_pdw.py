@@ -232,3 +232,18 @@ def test_hysteresis_scan_matches_sequential_random():
                     active = False
             ref.append(active)
         np.testing.assert_array_equal(s, np.asarray(ref))
+
+
+def test_count_clamped_to_capacity():
+    """count never exceeds max_pulses (ADVICE r1: consumers sum counts
+    across blocks/channels), on both stats paths."""
+    import jax.numpy as jnp
+
+    fs = 1e6
+    iq, spec = _mk_noisy_train(fs=fs, pw=20e-6, pri=100e-6, dur=10e-3)
+    cfg = PdwConfig.wideband(max_pulses=8, max_pulse_samples=256)
+    for stats in ("xla", "pallas"):
+        batch = pdwlib.extract_pdws(jnp.asarray(iq, jnp.complex64), cfg,
+                                    stats=stats)
+        assert int(np.asarray(batch.count)) == 8
+        assert int(np.sum(np.asarray(batch.valid))) == 8

@@ -219,3 +219,67 @@ def test_wideband_segment_extraction(tmp_path):
     assert len(got["toa"]) == len(ref["toa"]) > 10
     for key in ("toa", "freq", "pw", "mag", "snr", "sat"):
         np.testing.assert_array_equal(got[key], ref[key])
+
+
+def test_wideband_extract_iterator_mode(capture):
+    """extract() with channelizer=None (ADVICE r1: used to crash on
+    self.channelizer.num_bands): wideband iterator-based extraction equals
+    the in-memory wideband pipeline bit-for-bit."""
+    from sdr_channelizer_tpu.models import WidebandPdwPipeline
+
+    rng = np.random.default_rng(13)
+    n = 4096 * M
+    t = np.arange(n)
+    iq = (1e-3 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+          ).astype(np.complex64)
+    tone = np.exp(2j * np.pi * 0.171 * t).astype(np.complex64)
+    for s0 in range(300, n - 900, 2100):
+        iq[s0:s0 + 650] = tone[s0:s0 + 650]
+
+    cfg = PdwConfig.wideband(max_pulses=256, max_pulse_samples=4096)
+    ref = WidebandPdwPipeline(pdw_cfg=cfg).extract(
+        jnp.asarray(iq), fs=FS, fc=1e9, sample_start_time=3.0)
+
+    ext = StreamingExtractor(None, cfg, block_frames=7168)
+
+    def blocks():
+        for k in range(0, n, 7168):
+            yield iq[k:k + 7168]
+
+    got = ext.extract(blocks, fs=FS, fc=1e9, sample_start_time=3.0)
+    assert len(got["toa"]) == len(ref["toa"]) > 10
+    for key in ("toa", "freq", "pw", "mag", "snr", "sat"):
+        np.testing.assert_array_equal(got[key], ref[key])
+
+
+def test_measure_noise_floor_exact(capture):
+    """The two-counting-pass streamed median (O(block) memory) equals
+    np.median over the materialized whole-capture magnitudes — the
+    create_pdws_channelized.m:73 exactness contract — for both even and odd
+    sample counts (mean-of-two-middles vs middle order statistic)."""
+    chan = Channelizer.create(M)
+    cfg = PdwConfig.channelized(max_pulses=32, max_pulse_samples=256)
+
+    for n_frames in (4096, 4095):  # even and odd per-channel counts
+        iq = capture[: n_frames * M]
+
+        def blocks(iq=iq):
+            for k in range(0, len(iq), 10001):
+                yield iq[k:k + 10001]
+
+        ext = StreamingExtractor(chan, cfg, block_frames=1024)
+        got = ext.measure_noise_floor(blocks)
+        full = np.abs(np.asarray(channelize(jnp.asarray(iq), chan)))
+        np.testing.assert_array_equal(got, np.median(full, axis=0).astype(np.float32))
+
+    with pytest.raises(ValueError, match="empty sample stream"):
+        StreamingExtractor(chan, cfg).measure_noise_floor(lambda: iter(()))
+
+
+def test_short_block_warnings():
+    """Blocks shorter than the detection halo warn instead of silently
+    breaking the bit-exact stitching contract (ADVICE r1)."""
+    chan = Channelizer.create(M)
+    cfg = PdwConfig.channelized(max_pulses=32, max_pulse_samples=1024)
+    with pytest.warns(UserWarning, match="shorter than the detection halo"):
+        StreamingExtractor(chan, cfg, block_frames=512)
