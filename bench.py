@@ -27,17 +27,11 @@ import time
 import numpy as np
 
 
-def _sync(tree) -> float:
-    """Force completion; returns a probe value (also defeats DCE)."""
-    import jax
-    import jax.numpy as jnp
+def _sync(tree) -> None:
+    """Force completion (scalar-fetch barrier; also defeats DCE)."""
+    from sdr_channelizer_tpu.utils.profiling import sync_device
 
-    leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "dtype")]
-    jax.block_until_ready(leaves)
-    leaf = leaves[0]
-    return float(
-        np.asarray(jax.jit(lambda v: jnp.ravel(v)[:1].real.astype(jnp.float32))(leaf))[0]
-    )
+    sync_device(tree)
 
 
 def _make_capture(n: int, bands: int) -> np.ndarray:
@@ -151,24 +145,32 @@ def main() -> None:
         from sdr_channelizer_tpu.ops.pallas.channelizer_kernel import (
             pallas_channelize_streams,
         )
+        from sdr_channelizer_tpu.utils.profiling import StageTimer
 
+        timer = StageTimer()
         f_ch = jax.jit(lambda a, b: pallas_channelize_streams(
             a, b, pipe.channelizer.taps_rev))
         streams = f_ch(xr, xi)
-        dt = _time_fn(lambda _: f_ch(xr, xi), None, args.iters)
-        print(f"bench: streams kernel {n/dt/1e6:10.1f} Msps  ({dt*1e3:.2f} ms)",
-              file=sys.stderr)
+        _sync(streams)
         mag, ph, sat = streams
         f_nf = jax.jit(lambda v: medians.median(v, axis=0))
-        dt = _time_fn(f_nf, mag, args.iters)
-        print(f"bench: noise floor    {n/dt/1e6:10.1f} Msps  ({dt*1e3:.2f} ms)",
-              file=sys.stderr)
         nf = f_nf(mag)
+        _sync(nf)
         f_pdw = jax.jit(lambda a, b, c: pdwmod.extract_pdws_channelized_streams(
             a, b, c > 0.5, pipe.pdw_cfg, noise_floor=nf))
-        dt = _time_fn(lambda _: f_pdw(mag, ph, sat), None, args.iters)
-        print(f"bench: pdw extract    {n/dt/1e6:10.1f} Msps  ({dt*1e3:.2f} ms)",
-              file=sys.stderr)
+        _sync(f_pdw(mag, ph, sat))
+        # One device fence per stage (each sync costs a tunnel round-trip).
+        for name, fn in (("streams_kernel", lambda: f_ch(xr, xi)),
+                         ("noise_floor", lambda: f_nf(mag)),
+                         ("pdw_extract", lambda: f_pdw(mag, ph, sat))):
+            with timer.stage(name) as box:
+                for _ in range(args.iters):
+                    out = fn()
+                box.append(out)
+        for name, tot in timer.totals.items():
+            per = tot / args.iters
+            print(f"bench: {name:<14s} {n/per/1e6:10.1f} Msps  ({per*1e3:.2f} ms)",
+                  file=sys.stderr)
 
     t_compile0 = time.perf_counter()
     dt = _time_fn(fused_step, None, args.iters)

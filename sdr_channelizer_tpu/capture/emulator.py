@@ -24,6 +24,7 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 from sdr_channelizer_tpu.config import CaptureConfig
+from sdr_channelizer_tpu.utils.metrics import Counters
 
 
 @dataclasses.dataclass
@@ -53,6 +54,9 @@ class EmulatedRadio:
     scan_period_sec: float = 0.0
     scan_phase_sec: float = 0.0
     scan_curvature_db_per_s2: float = 0.0
+    # Observability (SURVEY.md section 5.5): the counters the reference
+    # prints as free-form stdout (received-sample counts, overruns).
+    counters: Counters = dataclasses.field(default_factory=Counters)
 
     def __post_init__(self):
         self._abs_index = 0
@@ -76,6 +80,11 @@ class EmulatedRadio:
         idx = self._abs_index
         if start_time is not None:
             want = int(round((start_time - self.start_epoch) * fs))
+            if want > idx:
+                # Timed dwell in the future: the skipped span is data the
+                # radio produced but nobody received — the emulator's
+                # overrun analog (blade_record_iq_12bit.cpp:304-307).
+                self.counters.add("samples_skipped", want - idx)
             idx = max(idx, want)
         k = idx + np.arange(num_samples, dtype=np.int64)
         t = k / fs
@@ -100,6 +109,12 @@ class EmulatedRadio:
         i = np.clip(np.round(raw.real), -fsc, fsc - 1)
         q = np.clip(np.round(raw.imag), -fsc, fsc - 1)
         iq = ((i + 1j * q) / fsc).astype(np.complex64)
+        ri, rq = np.round(raw.real), np.round(raw.imag)
+        clipped = int(np.sum((ri > fsc - 1) | (ri < -fsc) | (rq > fsc - 1) | (rq < -fsc)))
+        self.counters.add("dwells_received")
+        self.counters.add("samples_received", num_samples)
+        if clipped:
+            self.counters.add("saturated_samples", clipped)
         self._abs_index = idx + num_samples
         return iq, self.start_epoch + idx / fs
 

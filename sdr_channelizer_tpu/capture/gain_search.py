@@ -12,11 +12,12 @@ real-hardware backend would look the same).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 from sdr_channelizer_tpu.config import GainSearchConfig
+from sdr_channelizer_tpu.utils.metrics import Counters
 
 
 def dwell_is_saturated(
@@ -35,18 +36,27 @@ def find_max_unsaturated_gain(
     dwell_samples: int,
     num_dwells: int,
     cfg: GainSearchConfig = GainSearchConfig(),
+    counters: Optional[Counters] = None,
 ) -> Tuple[float, List[Tuple[float, bool]]]:
     """Run the closed-loop search; returns (final_gain_db, history).
 
     ``history`` is a list of (gain_db, saturated) per dwell.  The quantized
     receive path normalizes to [-1, 1), so full scale is 1.0 — one LSB below
     the clip point, matching the recorders testing raw ADC counts.
+    ``counters`` (optional) accumulates dwell/saturation counts — the
+    structured form of ``blade_find_max_unsaturated_gain.cpp:270``'s prints.
     """
     history: List[Tuple[float, bool]] = []
     for _ in range(num_dwells):
         iq, _ = radio.receive(dwell_samples)
         sat = dwell_is_saturated(iq, cfg, full_scale=1.0)
         history.append((radio.gain_db, sat))
+        if counters is not None:
+            counters.add("dwells")
+            counters.add("samples_received", dwell_samples)
         if sat:
             radio.gain_db -= cfg.gain_step_db
+            if counters is not None:
+                counters.add("saturation_events")
+                counters.add("gain_decrements_db", cfg.gain_step_db)
     return radio.gain_db, history

@@ -32,6 +32,7 @@ import numpy as np
 from sdr_channelizer_tpu.config import EventConfig, PdwConfig
 from sdr_channelizer_tpu.dsp import events as eventsmod
 from sdr_channelizer_tpu.dsp import pdw as pdwmod
+from sdr_channelizer_tpu.utils.metrics import Counters
 
 
 @dataclasses.dataclass
@@ -57,6 +58,9 @@ class EventTracker:
     saturation_level: float = 0.9999  # usrp_predict_event.cpp:336
     events: List[float] = dataclasses.field(default_factory=list)
     next_event_time: Optional[float] = None
+    # Observability (SURVEY.md section 5.5): dwell/pulse/saturation counters
+    # replacing the reference's stdout prints (usrp_predict_event.cpp:311).
+    counters: Counters = dataclasses.field(default_factory=Counters)
 
     def __post_init__(self):
         cfg = self.pdw_cfg
@@ -84,11 +88,16 @@ class EventTracker:
 
         batch, sat = self._extract(jnp.asarray(iq))
         sat = bool(sat)
+        self.counters.add("dwells")
+        self.counters.add("samples_ingested", dwell_n)
         if sat:
             self.radio.gain_db -= 1.0  # :210-218
+            self.counters.add("saturation_events")
+            self.counters.add("gain_decrements_db")
 
         valid = np.asarray(batch.valid)
         n_pulses = int(np.asarray(batch.count))
+        self.counters.add("pulses_emitted", n_pulses)
         event_t = None
         toa_rel = (np.asarray(batch.toa_idx)[valid] + 1) / fs
         snr = np.asarray(batch.snr_db)[valid]
@@ -97,6 +106,7 @@ class EventTracker:
             if np.isfinite(t_peak):
                 event_t = t0 + t_peak
                 self.events.append(event_t)
+                self.counters.add("events_fitted")
 
         if len(self.events) > self.event_cfg.min_events_for_pri:  # :354
             diffs = np.diff(np.asarray(self.events))

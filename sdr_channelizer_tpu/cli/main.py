@@ -94,6 +94,8 @@ def cmd_record(args) -> int:
         path = os.path.join(args.out_dir, iqpacket.utc_filename(t0))
         iqpacket.write_iq(path, hdr, samples)
         print(path)
+    if args.metrics:
+        print(radio.counters.to_json())
     return 0
 
 
@@ -106,10 +108,16 @@ def cmd_gain_search(args) -> int:
     )
     dwell_n = int(args.dwell_sec * radio.sample_rate_sps)
     n = int(args.duration_sec / args.dwell_sec)
-    final, history = find_max_unsaturated_gain(radio, dwell_n, n)
+    from sdr_channelizer_tpu.utils.metrics import Counters
+
+    counters = Counters()
+    final, history = find_max_unsaturated_gain(radio, dwell_n, n,
+                                               counters=counters)
     for gain, sat in history:
         print(f"gain {gain:5.1f} dB  {'SATURATED' if sat else 'ok'}")
     print(f"Max unsaturated gain: {final:.1f} dB")
+    if args.metrics:
+        print(counters.to_json())
     return 0
 
 
@@ -184,7 +192,9 @@ def cmd_pdw(args) -> int:
     from sdr_channelizer_tpu.config import PdwConfig
     from sdr_channelizer_tpu.io.convert import load_capture
     from sdr_channelizer_tpu.models import ChannelizerPipeline, WidebandPdwPipeline
+    from sdr_channelizer_tpu.utils.metrics import Counters
 
+    counters = Counters()
     all_pdws = []
     for path in args.files:
         iq, meta = load_capture(path)
@@ -208,6 +218,9 @@ def cmd_pdw(args) -> int:
             pipe = WidebandPdwPipeline(pdw_cfg=cfg)
             pdws = pipe.extract(jnp.asarray(iq), fs=fs, fc=fc, sample_start_time=t0)
         all_pdws.append(pdws)
+        counters.add("files_processed")
+        counters.add("samples_ingested", len(iq))
+        counters.add("pulses_emitted", len(pdws["toa"]))
         print(f"{path}: {len(pdws['toa'])} pulses")
 
     merged = {k: np.concatenate([p[k] for p in all_pdws]) for k in all_pdws[0]}
@@ -221,6 +234,8 @@ def cmd_pdw(args) -> int:
 
         pdw_plot_png(args.png, merged)
         print(args.png)
+    if args.metrics:
+        print(counters.to_json())
     return 0
 
 
@@ -288,6 +303,11 @@ def cmd_track(args) -> int:
         if rep.saturated:
             line += " SATURATED"
         print(line)
+    if args.metrics:
+        import json
+
+        print(json.dumps({"tracker": tracker.counters.snapshot(),
+                          "radio": radio.counters.snapshot()}, sort_keys=True))
     return 0
 
 
@@ -352,6 +372,8 @@ def cmd_bench(args) -> int:
 
 
 def _add_capture_args(p, with_signal=True):
+    p.add_argument("--metrics", action="store_true",
+                   help="print a structured-counters JSON line at exit")
     p.add_argument("freq_mhz", type=float)
     p.add_argument("bw_mhz", type=float)
     p.add_argument("rate_msps", type=float)
@@ -429,6 +451,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--max-pulse-samples", type=int, default=4096)
     p.add_argument("--out", default=None)
     p.add_argument("--png", default=None)
+    p.add_argument("--metrics", action="store_true",
+                   help="print a structured-counters JSON line at exit")
     p.set_defaults(fn=cmd_pdw)
 
     p = sub.add_parser("predict", help="offline event prediction over captures")

@@ -46,6 +46,7 @@ from sdr_channelizer_tpu.dsp import pdw as pdwmod
 from sdr_channelizer_tpu.ops import medians
 from sdr_channelizer_tpu.dsp.channelizer import Channelizer
 from sdr_channelizer_tpu.io import iqpacket
+from sdr_channelizer_tpu.utils.metrics import Counters
 
 
 def _sortable_u32_np(x: np.ndarray) -> np.ndarray:
@@ -168,6 +169,8 @@ class StreamingExtractor:
     pdw_cfg: PdwConfig
     block_frames: int = 65536
     halo_frames: Optional[int] = None  # default: pdw_cfg.max_pulse_samples
+    # Observability (SURVEY.md section 5.5): samples/blocks/pulses counters.
+    counters: Counters = dataclasses.field(default_factory=Counters)
 
     def __post_init__(self):
         self._halo = self.halo_frames or self.pdw_cfg.max_pulse_samples
@@ -338,6 +341,8 @@ class StreamingExtractor:
 
         short_halo = False  # last flush's halo was truncated by a short block
         for y in self._channelized_blocks(make_sample_blocks()):
+            self.counters.add("samples_ingested", y.shape[0] * m)
+            self.counters.add("blocks_processed")
             mag, ph, sat = pdwmod._prep_streams(y, cfg.saturation_level)
             if nf is None:
                 nf = medians.median(mag, axis=0)
@@ -444,10 +449,13 @@ class StreamingExtractor:
             f0 = k * block
             t_k = min(block, n_frames - f0)
             path = _ck_path(k)
+            self.counters.add("blocks_processed")
+            self.counters.add("samples_ingested", t_k * m)
             if path and os.path.exists(path):
                 z = np.load(path)
                 batch = pdwmod.PdwBatch(**{n: z[n] for n in field_names})
                 a_blk, b_blk = jnp.asarray(z["a"]), jnp.asarray(z["b"])
+                self.counters.add("blocks_resumed_from_checkpoint")
             else:
                 h_k = min(halo, n_frames - f0 - t_k)
                 hist_frames = min(p - 1, f0)
@@ -505,6 +513,7 @@ class StreamingExtractor:
             else:
                 fields[name] = np.concatenate(parts, axis=1)  # (M, total)
         merged = pdwmod.PdwBatch(**fields)
+        self.counters.add("pulses_emitted", int(np.sum(fields["valid"])))
         return pdwmod.finalize_pdws(
             merged,
             fs=fs / m,

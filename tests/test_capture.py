@@ -117,3 +117,41 @@ def test_tracker_gain_feedback():
     assert reports[0].saturated
     assert r.gain_db <= 59.0  # walked down out of saturation
     assert not reports[-1].saturated
+
+
+def test_counters_wired_through_capture_loop():
+    """Observability (SURVEY.md section 5.5): the structured counters are
+    actually incremented by the radio / gain search / tracker."""
+    from sdr_channelizer_tpu.utils.metrics import Counters
+
+    r = EmulatedRadio(sample_rate_sps=1e6, tone_offset_hz=0.13e6,
+                      pulse_width_sec=100e-6,
+                      pri_sec=1e-3, gain_db=66.0, noise_db=-300.0)
+    c = Counters()
+    find_max_unsaturated_gain(r, 2000, 10, counters=c)
+    assert c.get("dwells") == 10
+    assert c.get("samples_received") == 20000
+    assert c.get("saturation_events") == c.get("gain_decrements_db") == 7
+    assert r.counters.get("dwells_received") == 10
+    assert r.counters.get("samples_received") == 20000
+    assert r.counters.get("saturated_samples") > 0
+
+    # Sparse emitter: the mean-magnitude floor needs a low duty cycle for
+    # pulses to clear the 20 dB threshold (see the `tracked` fixture note).
+    r2 = EmulatedRadio(sample_rate_sps=1e6, tone_offset_hz=0.13e6,
+                       pulse_width_sec=10e-6, pri_sec=10e-3, gain_db=60.0,
+                       rel_amplitude=0.9, noise_db=-55.0)
+    tr = EventTracker(radio=r2, dwell_sec=0.05)
+    tr.run(5)
+    assert tr.counters.get("dwells") == 5
+    assert tr.counters.get("samples_ingested") == 5 * 50000
+    assert tr.counters.get("pulses_emitted") > 0
+    snap = tr.counters.snapshot()
+    assert snap["counters"]["dwells"] == 5 and "uptime_sec" in snap
+
+
+def test_radio_timed_dwell_counts_skip():
+    r = EmulatedRadio(sample_rate_sps=1e6, start_epoch=100.0)
+    r.receive(1000)
+    r.receive(1000, start_time=100.5)  # fast-forward to t=+0.5s
+    assert r.counters.get("samples_skipped") == 500000 - 1000

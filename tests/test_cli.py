@@ -136,3 +136,22 @@ def test_channelize_frames_sequence(capture_file, tmp_path):
                "--frame-limit", "3"])
     assert rc == 0
     assert len(list(frames.glob("frame_*.png"))) == 3
+
+
+def test_metrics_flag_emits_counters_json(capsys, capture_file, tmp_path):
+    import json
+
+    rc = main(["gain-search", "--metrics", "1000", "56", "1", "66", "0.002", "0.02"])
+    assert rc == 0
+    last = capsys.readouterr().out.strip().splitlines()[-1]
+    snap = json.loads(last)
+    assert snap["counters"]["dwells"] == 10
+    assert snap["counters"]["samples_received"] == 20000
+
+    rc = main(["pdw", str(capture_file), "--metrics",
+               "--out", str(tmp_path / "p.npz")])
+    assert rc == 0
+    last = capsys.readouterr().out.strip().splitlines()[-1]
+    snap = json.loads(last)
+    assert snap["counters"]["files_processed"] == 1
+    assert snap["counters"]["pulses_emitted"] > 0

@@ -283,3 +283,19 @@ def test_short_block_warnings():
     cfg = PdwConfig.channelized(max_pulses=32, max_pulse_samples=1024)
     with pytest.warns(UserWarning, match="shorter than the detection halo"):
         StreamingExtractor(chan, cfg, block_frames=512)
+
+
+def test_streaming_counters(capture):
+    chan = Channelizer.create(M)
+    cfg = PdwConfig.channelized(max_pulses=128, max_pulse_samples=1024)
+    ext = StreamingExtractor(chan, cfg, block_frames=2048)
+
+    def blocks():
+        for k in range(0, len(capture), 10000):
+            yield capture[k:k + 10000]
+
+    got = ext.extract(blocks, fs=FS, noise_floor="first_block")
+    c = ext.counters
+    assert c.get("samples_ingested") == len(capture) // M * M
+    assert c.get("blocks_processed") == -(-len(capture) // 10000)
+    assert c.get("pulses_emitted") == len(got["toa"]) > 0
