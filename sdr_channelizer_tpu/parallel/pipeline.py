@@ -118,7 +118,48 @@ def _build_channelize_local(chan, n_time: int, n_chan: int, t_loc: int):
     return local
 
 
-def _build_pdw_local(cfg: PdwConfig, n_time: int, t_loc: int, halo: int, m_loc: int):
+def _build_channelize_local_planes(chan, n_time: int, n_chan: int, t_loc: int):
+    """Complex-free twin of :func:`_build_channelize_local`: float32
+    real/imag planes in, the DFT as four real MXU matmuls with column
+    slices of ``Wr``/``Wi`` per mesh column — same numbers as
+    ``dsp.channelizer.channelize_planes``, for TPU transports that cannot
+    lower complex arithmetic or transfer complex arrays."""
+    taps_np = chan.taps_rev  # (P, M) float32
+    m = chan.num_bands
+    if m % n_chan:
+        raise ValueError(f"num_bands {m} not divisible by chan mesh axis {n_chan}")
+    m_loc = m // n_chan
+    w = chmod.dft_matrix(m, shifted=True)
+    wr_np = np.ascontiguousarray(np.real(w), np.float32)
+    wi_np = np.ascontiguousarray(np.imag(w), np.float32)
+
+    def local(xr_loc: jax.Array, xi_loc: jax.Array):
+        taps = jnp.asarray(taps_np)
+        p = taps.shape[0]
+
+        def branches(plane):
+            frames = plane.reshape(t_loc, m).astype(jnp.float32)
+            if p > 1:
+                tail = frames[-(p - 1):]
+                hist = jax.lax.ppermute(tail, TIME_AXIS, _fwd_perm(n_time))
+                hist = jnp.concatenate([jnp.zeros((1, m), frames.dtype), hist])
+            else:
+                hist = jnp.zeros((1, m), frames.dtype)
+            return chmod._fir_branches(frames, hist, taps)
+
+        ur, ui = branches(xr_loc), branches(xi_loc)
+        c_i = jax.lax.axis_index(CHAN_AXIS)
+        wr = jax.lax.dynamic_slice_in_dim(jnp.asarray(wr_np), c_i * m_loc, m_loc, axis=1)
+        wi = jax.lax.dynamic_slice_in_dim(jnp.asarray(wi_np), c_i * m_loc, m_loc, axis=1)
+        yr = ur @ wr - ui @ wi
+        yi = ur @ wi + ui @ wr
+        return yr, yi
+
+    return local
+
+
+def _build_pdw_local(cfg: PdwConfig, n_time: int, t_loc: int, halo: int,
+                     m_loc: int, planes: bool = False):
     core = functools.partial(
         pdwmod.extract_pdws_block_core,
         own_len=t_loc,
@@ -128,8 +169,7 @@ def _build_pdw_local(cfg: PdwConfig, n_time: int, t_loc: int, halo: int, m_loc: 
         max_pulse_samples=cfg.max_pulse_samples,
     )
 
-    def local(y_loc: jax.Array, nf_loc: jax.Array) -> PdwBatch:
-        mag, ph, sat = pdwmod._prep_streams(y_loc, cfg.saturation_level)
+    def local_streams(mag, ph, sat, nf_loc: jax.Array) -> PdwBatch:
         t_i = jax.lax.axis_index(TIME_AXIS)
 
         # Right halo: the next shard's first `halo` frames.  The last shard
@@ -162,6 +202,17 @@ def _build_pdw_local(cfg: PdwConfig, n_time: int, t_loc: int, halo: int, m_loc: 
         )
         # Leading (1, ...) axis so out_specs can stack blocks along time.
         return jax.tree.map(lambda v: v[None], batch)
+
+    if planes:
+        def local(yr_loc: jax.Array, yi_loc: jax.Array, nf_loc: jax.Array) -> PdwBatch:
+            mag, ph, sat = pdwmod._prep_streams_planes(
+                yr_loc, yi_loc, cfg.saturation_level
+            )
+            return local_streams(mag, ph, sat, nf_loc)
+    else:
+        def local(y_loc: jax.Array, nf_loc: jax.Array) -> PdwBatch:
+            mag, ph, sat = pdwmod._prep_streams(y_loc, cfg.saturation_level)
+            return local_streams(mag, ph, sat, nf_loc)
 
     return local
 
@@ -227,6 +278,52 @@ class ShardedPipeline:
 
         return step, t_loc
 
+    def _build_planes(self, n_samples: int):
+        """Complex-free twin of :meth:`_build`: (xr, xi) planes in,
+        (yr, yi, nf, batch) out — the graph that lowers on TPU transports
+        without complex support (the multi-chip form of
+        ``models.pipeline.ChannelizerPipeline.forward_planes``)."""
+        n_time, n_chan = self.n_time, self.n_chan
+        m = self.channelizer.num_bands
+        if n_samples % (n_time * m):
+            raise ValueError(
+                f"capture length {n_samples} must divide into "
+                f"{n_time} time shards of whole {m}-sample frames"
+            )
+        t_loc = n_samples // (n_time * m)
+        halo = _cap_halo(self.halo_frames or self.pdw_cfg.max_pulse_samples, t_loc)
+        m_loc = m // n_chan
+
+        chan_local = _build_channelize_local_planes(
+            self.channelizer, n_time, n_chan, t_loc
+        )
+        pdw_local = _build_pdw_local(
+            self.pdw_cfg, n_time, t_loc, halo, m_loc, planes=True
+        )
+        batch_specs = PdwBatch(
+            **{f.name: P(TIME_AXIS, CHAN_AXIS) for f in dataclasses.fields(PdwBatch)}
+        )
+
+        @jax.jit
+        def step(xr, xi):
+            yr, yi = jax.shard_map(
+                chan_local, mesh=self.mesh,
+                in_specs=(P(TIME_AXIS), P(TIME_AXIS)),
+                out_specs=(P(TIME_AXIS, CHAN_AXIS), P(TIME_AXIS, CHAN_AXIS)),
+                check_vma=False,
+            )(xr, xi)
+            nf = medians.median(jnp.sqrt(yr * yr + yi * yi), axis=0)
+            batch = jax.shard_map(
+                pdw_local, mesh=self.mesh,
+                in_specs=(P(TIME_AXIS, CHAN_AXIS), P(TIME_AXIS, CHAN_AXIS),
+                          P(CHAN_AXIS)),
+                out_specs=batch_specs,
+                check_vma=False,
+            )(yr, yi, nf)
+            return yr, yi, nf, batch
+
+        return step, t_loc
+
     def step(self, x: jax.Array):
         """Run the sharded pipeline.  Returns (chan_iq, noise_floor, batch)
         with ``batch`` arrays stacked ``(n_time, M, max_pulses)``."""
@@ -235,6 +332,43 @@ class ShardedPipeline:
             self._cache[n] = self._build(n)
         fn, _ = self._cache[n]
         return fn(x)
+
+    def step_planes(self, xr: jax.Array, xi: jax.Array):
+        """Run the complex-free sharded pipeline on float32 sample planes.
+        Returns (yr, yi, noise_floor, batch)."""
+        n = int(np.shape(xr)[-1])
+        key = ("planes", n)
+        if key not in self._cache:
+            self._cache[key] = self._build_planes(n)
+        fn, _ = self._cache[key]
+        return fn(xr, xi)
+
+    def extract_planes(
+        self,
+        iq: np.ndarray,
+        fs: float,
+        fc: float = 0.0,
+        sample_start_time: float = 0.0,
+    ) -> dict:
+        """Host complex capture -> host PDW dict through the complex-free
+        sharded graph (planes split on the host)."""
+        xr = np.ascontiguousarray(np.real(iq), np.float32)
+        xi = np.ascontiguousarray(np.imag(iq), np.float32)
+        n = int(np.shape(xr)[-1])
+        key = ("planes", n)
+        if key not in self._cache:
+            self._cache[key] = self._build_planes(n)
+        fn, t_loc = self._cache[key]
+        _, _, _, batch = fn(xr, xi)
+        merged = merge_block_batches(batch, t_loc)
+        m = self.channelizer.num_bands
+        return pdwmod.finalize_pdws(
+            merged,
+            fs=fs / m,
+            fc=fc,
+            sample_start_time=sample_start_time,
+            bin_offsets_hz=self.channelizer.center_frequencies(fs),
+        )
 
     def extract(
         self,
