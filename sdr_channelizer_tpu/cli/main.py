@@ -363,6 +363,21 @@ def cmd_plot(args) -> int:
     return 0
 
 
+def cmd_provision(args) -> int:
+    """loadFpgaA5/loadFpgaA9 parity: bladeRF FPGA bitstream + firmware load
+    via bladeRF-cli (reference component #12)."""
+    from sdr_channelizer_tpu.capture.hardware import (
+        provision_bladerf,
+        provision_bladerf_commands,
+    )
+
+    if args.dry_run:
+        for cmd in provision_bladerf_commands(args.board, args.workarea):
+            print(" ".join(cmd))
+        return 0
+    return provision_bladerf(args.board, args.workarea)
+
+
 def cmd_bench(args) -> int:
     import subprocess
 
@@ -495,6 +510,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("files", nargs="+")
     p.add_argument("--out-dir", default=None)
     p.set_defaults(fn=cmd_plot)
+
+    p = sub.add_parser("provision",
+                       help="bladeRF FPGA/firmware provisioning (loadFpgaA5/A9)")
+    p.add_argument("board", choices=["A5", "A9"])
+    p.add_argument("--workarea", default="~/workarea")
+    p.add_argument("--dry-run", action="store_true",
+                   help="print the bladeRF-cli commands without running them")
+    p.set_defaults(fn=cmd_provision)
 
     p = sub.add_parser("bench", help="run the repo benchmark")
     p.add_argument("bench_args", nargs="*")
