@@ -74,6 +74,9 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--stages", action="store_true",
                     help="also time channelize / noise-floor / pdw separately")
+    ap.add_argument("--planes", action="store_true",
+                    help="measure the f32-planes ingest instead of the "
+                         "packed int16 headline")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--inner", action="store_true",
                     help="(internal) run the measurement in this process")
@@ -87,7 +90,9 @@ def main() -> None:
 
         base = [sys.executable, os.path.abspath(__file__), "--inner",
                 "--bands", str(args.bands), "--frames", str(args.frames),
-                "--iters", str(args.iters)] + (["--stages"] if args.stages else [])
+                "--iters", str(args.iters)]
+        base += ["--stages"] if args.stages else []
+        base += ["--planes"] if args.planes else []
         # The TPU tunnel stays wedged for minutes after any failed run
         # (its own or another process's) — retry with backoff before
         # falling back to a labeled CPU measurement.
@@ -126,16 +131,29 @@ def main() -> None:
         pdw_cfg=PdwConfig.channelized(max_pulses=512, max_pulse_samples=1024),
     )
     cap = _make_capture(n, args.bands)
-    # Flagship path: fused Pallas streams kernel on f32 planes.  (Raw int16
-    # ingest with in-kernel dequant exists — pipe.step_fused(bit_width=12) —
-    # but the int16 DMA path does not yet run on this TPU transport.)
-    xr = jax.device_put(np.ascontiguousarray(np.real(cap)), dev)
-    xi = jax.device_put(np.ascontiguousarray(np.imag(cap)), dev)
+    # Headline path: the raw recorder payload — int16 I/Q pairs viewed as
+    # one int32 plane (on-disk bytes to the device, 4 bytes/sample h2d),
+    # deinterleave + sign-extend + Q11 dequant in-kernel.  TPU-ground-truth
+    # validated (tools/tpu_validate.py); --planes measures the f32-planes
+    # ingest (8 bytes/sample) instead.
+    i16 = np.clip(np.round(np.stack([cap.real, cap.imag], -1) * 2048),
+                  -2048, 2047).astype(np.int16)
     # NOTE: no complex arrays touch the device — complex h2d/d2h is
     # unimplemented on the TPU transport and poisons later fetches.
+    xr = jax.device_put(
+        np.ascontiguousarray(i16[:, 0].astype(np.float32) / 2048.0), dev)
+    xi = jax.device_put(
+        np.ascontiguousarray(i16[:, 1].astype(np.float32) / 2048.0), dev)
+    if args.planes:
+        def fused_step(_):
+            return pipe.step_fused(xr, xi, bit_width=0)
+        ingest = "f32_planes"
+    else:
+        xq = jax.device_put(np.ascontiguousarray(i16).view(np.int32).ravel(), dev)
 
-    def fused_step(_):
-        return pipe.step_fused(xr, xi, bit_width=0)
+        def fused_step(_):
+            return pipe._jit_forward_packed(xq, bit_width=12)
+        ingest = "packed_int16"
 
     if args.stages:
         import jax.numpy as jnp
@@ -177,8 +195,26 @@ def main() -> None:
     print(f"bench: total incl. compile+warmup {time.perf_counter()-t_compile0:.1f}s",
           file=sys.stderr)
 
+    # PDW-extraction latency p50 (BASELINE.md second north-star metric):
+    # single-step wall times, each fenced with a scalar fetch, fence
+    # round-trip subtracted.  Over the remote tunnel the fence costs far
+    # more than a step; fence_ms is reported so the subtraction is honest.
+    out = fused_step(None)
+    _sync(out)
+    t0 = time.perf_counter()
+    _sync(out)
+    fence = time.perf_counter() - t0
+    lat = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        _sync(fused_step(None))
+        lat.append(max(time.perf_counter() - t0 - fence, 0.0))
+    lat_p50 = float(np.median(lat))
+
     msps = n / dt / 1e6
-    print(f"bench: {args.iters} iters, {dt*1e3:.2f} ms/step", file=sys.stderr)
+    print(f"bench: {args.iters} iters, {dt*1e3:.2f} ms/step, "
+          f"latency p50 {lat_p50*1e3:.2f} ms (fence {fence*1e3:.0f} ms)",
+          file=sys.stderr)
     print(
         json.dumps(
             {
@@ -186,6 +222,9 @@ def main() -> None:
                 "value": round(msps, 1),
                 "unit": "Msamples/s/chip",
                 "vs_baseline": round(msps / 56.0, 1),
+                "latency_p50_ms": round(lat_p50 * 1e3, 2),
+                "sync_fence_ms": round(fence * 1e3, 2),
+                "ingest": ingest,
                 "device": f"{dev.platform}:{dev.device_kind}",
             }
         )
