@@ -42,6 +42,13 @@ def main() -> None:
     ap.add_argument("--cpu-devices", type=int, default=0,
                     help="force a virtual CPU mesh of this many devices "
                          "(the JAX_PLATFORMS env var is ignored on this box)")
+    ap.add_argument("--fixed-total", action="store_true",
+                    help="strong-scaling mode: shard the SAME total capture "
+                         "across every mesh size.  On a virtual CPU mesh "
+                         "(shared physical cores) this is the honest metric: "
+                         "throughput should stay flat, so value/value[1] "
+                         "measures sharding+collective overhead, not compute "
+                         "scaling")
     args = ap.parse_args()
 
     import os
@@ -79,7 +86,8 @@ def main() -> None:
         mesh = make_mesh(n_time=n_time, n_chan=n_chan,
                          devices=jax.devices()[:nd])
         pipe = ShardedPipeline(mesh, chan, cfg)
-        n = args.bands * args.frames_per_device * n_time
+        total_time = max(sizes) if args.fixed_total else n_time
+        n = args.bands * args.frames_per_device * total_time
         x = (0.001 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
              ).astype(np.complex64)
         out = pipe.step(x)
@@ -91,18 +99,28 @@ def main() -> None:
         dt = (time.perf_counter() - t0) / args.iters
         msps = n / dt / 1e6
         results[nd] = msps
-        eff = msps / (results[1] * nd) if 1 in results and nd > 1 else 1.0
+        if args.fixed_total:
+            eff = msps / results[1] if 1 in results and nd > 1 else 1.0
+        else:
+            eff = msps / (results[1] * nd) if 1 in results and nd > 1 else 1.0
         print(json.dumps({
             "metric": "sharded_throughput", "devices": nd,
             "mesh": f"{n_time}x{n_chan}", "value": round(msps, 1),
-            "unit": "Msamples/s", "scaling_efficiency": round(eff, 3),
+            "unit": "Msamples/s",
+            ("overhead_efficiency" if args.fixed_total else "scaling_efficiency"):
+                round(eff, 3),
         }))
 
     if len(results) > 1:
         top = max(results)
-        eff = results[top] / (results[1] * top)
+        if args.fixed_total:
+            eff = results[top] / results[1]
+            name = "sharding_overhead_efficiency"
+        else:
+            eff = results[top] / (results[1] * top)
+            name = "scaling_efficiency"
         print(json.dumps({
-            "metric": "scaling_efficiency", "value": round(eff, 3),
+            "metric": name, "value": round(eff, 3),
             "unit": f"1->{top} devices", "vs_baseline": round(eff / 0.8, 2),
         }))
     print("done", file=sys.stderr)

@@ -54,6 +54,11 @@ from sdr_channelizer_tpu.config import PdwConfig
 from sdr_channelizer_tpu.ops import medians
 from sdr_channelizer_tpu.ops.medians import masked_median
 
+# Pulses at or below this many samples take the cheap 3-row stats kernel;
+# longer ones take the full max_pulse_samples-window kernel (see
+# _extract_channelized_pallas_stats).
+_SHORT_WINDOW = 256
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -427,7 +432,11 @@ def _extract_channelized_pallas_stats(
     statistics may extend into the halo).  Defaults reproduce the
     whole-capture behavior (latch starts inactive, everything owned).
     """
-    from sdr_channelizer_tpu.ops.pallas.pulse_stats_kernel import TILE, pulse_stats
+    from sdr_channelizer_tpu.ops.pallas.pulse_stats_kernel import (
+        TILE,
+        pulse_stats,
+        stats_kernel_feasible,
+    )
 
     t_len, m = mag.shape
     own = t_len if own_len is None else own_len
@@ -442,15 +451,6 @@ def _extract_channelized_pallas_stats(
     else:
         trail_thresh = noise_floor * 10.0 ** (cfg.trailing_threshold_db / 10.0)
 
-    ge_lead = mag >= lead_thresh[None, :]
-    le_trail = mag <= trail_thresh[None, :]
-    a, b = hysteresis_fns(ge_lead, le_trail, axis=0)
-    state = jnp.where(entry[None, :], b, a)
-    prev = jnp.concatenate([entry[None, :], state[:-1]])
-    lead_edge = state & ~prev
-    trail_edge = ~state & prev
-    owned_lead = lead_edge & (jnp.arange(t_len)[:, None] < own)
-
     # Edge positions via searchsorted on the rank cumsum: the r-th edge is
     # the first t with cumsum >= r+1, and slots past the count come back as
     # t_len — the same sentinel semantics as _edge_indices, but gather-based
@@ -458,15 +458,49 @@ def _extract_channelized_pallas_stats(
     # faster on TPU.  When the block enters active, the first trailing edge
     # closes the previous block's pulse — skip it (latch events alternate).
     ranks = jnp.arange(1, p_slots + 1, dtype=jnp.int32)
+    if medians.use_sort_free():
+        # Single-pass Pallas latch kernel (block-carried state) instead of
+        # XLA's log-depth associative scan — see ops/pallas/latch_kernel.py.
+        from sdr_channelizer_tpu.ops.pallas.latch_kernel import (
+            pallas_latch_cumsums,
+        )
 
-    def find_edges(edge_col, skip):
-        csum = jnp.cumsum(edge_col.astype(jnp.int32))
-        return jnp.searchsorted(csum, ranks + skip, side="left").astype(jnp.int32)
+        cl, ct = pallas_latch_cumsums(mag, lead_thresh, trail_thresh, entry)
+        ranks_f = ranks.astype(jnp.float32)
 
-    zeros_m = jnp.zeros((m,), jnp.int32)
-    toa_idx = jax.vmap(find_edges, in_axes=(1, 0))(owned_lead, zeros_m)
-    te_idx = jax.vmap(find_edges, in_axes=(1, 0))(trail_edge, entry.astype(jnp.int32))
-    n_own = jnp.sum(owned_lead, axis=0).astype(jnp.int32)
+        def find_cum(cum_col, skip):
+            return jnp.searchsorted(
+                cum_col, ranks_f + skip, side="left"
+            ).astype(jnp.int32)
+
+        zeros_f = jnp.zeros((m,), jnp.float32)
+        toa_idx = jax.vmap(find_cum, in_axes=(1, 0))(cl, zeros_f)
+        te_idx = jax.vmap(find_cum, in_axes=(1, 0))(
+            ct, entry.astype(jnp.float32)
+        )
+        # Leads within the owned region (ranks past n_own point into the
+        # halo; downstream stats for them are garbage masked by `matched`).
+        n_own = cl[own - 1].astype(jnp.int32)
+    else:
+        ge_lead = mag >= lead_thresh[None, :]
+        le_trail = mag <= trail_thresh[None, :]
+        a, b = hysteresis_fns(ge_lead, le_trail, axis=0)
+        state = jnp.where(entry[None, :], b, a)
+        prev = jnp.concatenate([entry[None, :], state[:-1]])
+        lead_edge = state & ~prev
+        trail_edge = ~state & prev
+        owned_lead = lead_edge & (jnp.arange(t_len)[:, None] < own)
+
+        def find_edges(edge_col, skip):
+            csum = jnp.cumsum(edge_col.astype(jnp.int32))
+            return jnp.searchsorted(csum, ranks + skip, side="left").astype(jnp.int32)
+
+        zeros_m = jnp.zeros((m,), jnp.int32)
+        toa_idx = jax.vmap(find_edges, in_axes=(1, 0))(owned_lead, zeros_m)
+        te_idx = jax.vmap(find_edges, in_axes=(1, 0))(
+            trail_edge, entry.astype(jnp.int32)
+        )
+        n_own = jnp.sum(owned_lead, axis=0).astype(jnp.int32)
     matched = (jnp.arange(p_slots)[None, :] < n_own[:, None]) & (te_idx < t_len)
     count = jnp.minimum(jnp.sum(matched, axis=1), max_pulses).astype(jnp.int32)
     valid = jnp.arange(p_slots)[None, :] < count[:, None]
@@ -476,10 +510,49 @@ def _extract_channelized_pallas_stats(
     dph = jnp.where(dph < -180.0, dph + 360.0, dph)
     dph = jnp.where(dph > 180.0, dph - 360.0, dph)
     dph = jnp.concatenate([dph, jnp.zeros((1, m), dph.dtype)])
-    med_mag, med_dph, sat_any = pulse_stats(
-        mag.T, dph.T, sat.astype(jnp.float32).T,
-        toa_idx, te_idx, window=w,
-    )
+    mag_cm = mag.T
+    dph_cm = dph.T
+    sat_cm = sat.astype(jnp.float32).T
+
+    sw = _SHORT_WINDOW
+    if w > sw and stats_kernel_feasible(t_len, sw):
+        # Two-tier windows: the kernel's per-pulse DMA + selection cost
+        # scales with ceil(window/128)+1 rows, but real pulses are usually
+        # far shorter than the max_pulse_samples bound — route pulses with
+        # plen <= 256 through a 3-row kernel and only the rare long ones
+        # through the full-window kernel (identical masked medians either
+        # way; the mask, not the window, delimits the pulse).
+        matched_te = te_idx < t_len
+        plen = te_idx - toa_idx + 1
+        is_short = (toa_idx < t_len) & matched_te & (plen <= sw)
+        is_long = (toa_idx < t_len) & ~is_short
+
+        def part(sel_row, toa_row, te_row):
+            rank = jnp.cumsum(sel_row.astype(jnp.int32)) - 1
+            rank = jnp.where(sel_row, rank, p_slots)
+            base = jnp.full((p_slots,), t_len, jnp.int32)
+            return (base.at[rank].set(toa_row, mode="drop"),
+                    base.at[rank].set(te_row, mode="drop"), rank)
+
+        toa_s, te_s, rank_s = jax.vmap(part)(is_short, toa_idx, te_idx)
+        toa_l, te_l, rank_l = jax.vmap(part)(is_long, toa_idx, te_idx)
+        outs_s = pulse_stats(mag_cm, dph_cm, sat_cm, toa_s, te_s, window=sw)
+        outs_l = pulse_stats(mag_cm, dph_cm, sat_cm, toa_l, te_l, window=w)
+        gr_s = jnp.minimum(rank_s, p_slots - 1)
+        gr_l = jnp.minimum(rank_l, p_slots - 1)
+
+        def mergev(vs, vl):
+            return jnp.where(is_short,
+                             jnp.take_along_axis(vs, gr_s, axis=1),
+                             jnp.take_along_axis(vl, gr_l, axis=1))
+
+        med_mag, med_dph, sat_any = (
+            mergev(vs, vl) for vs, vl in zip(outs_s, outs_l)
+        )
+    else:
+        med_mag, med_dph, sat_any = pulse_stats(
+            mag_cm, dph_cm, sat_cm, toa_idx, te_idx, window=w,
+        )
 
     snr = 10.0 * jnp.log10(med_mag / noise_floor[:, None])
     zero = jnp.zeros((), jnp.float32)

@@ -62,7 +62,7 @@ def _f32_from_keys(u):
 
 
 def _stats_kernel(toa_sm, te_sm, mag_hbm, dph_hbm, sat_hbm,
-                  toa_vm, te_vm, expand_vm, sel_vm,
+                  toa_vm, te_vm, expand_vm, sel_vm, head_vm,
                   mag_out, dph_out, sat_out,
                   mag_buf, dph_buf, sat_buf, sems,
                   *, rows: int, window: int, t_len: int, m_lanes: int):
@@ -137,48 +137,75 @@ def _stats_kernel(toa_sm, te_sm, mag_hbm, dph_hbm, sat_hbm,
         def group_sum(x_f32):  # (g, LANES) -> (TILE, 1)
             return _DOT(sel, jnp.sum(x_f32, axis=1, keepdims=True))
 
+        def bcast_u32(u_col):
+            """Per-pulse u32 (TILE, 1) -> row space (g, 1).  u32 payloads do
+            not fit f32; split into hi/lo 16-bit halves for the matmul.
+            (Mosaic has no u32<->f32 casts — route through i32 bitcasts.)"""
+            u_hi = pltpu.bitcast(u_col >> 16, jnp.int32).astype(jnp.float32)
+            u_lo = pltpu.bitcast(u_col & jnp.uint32(0xFFFF),
+                                 jnp.int32).astype(jnp.float32)
+            r_hi = pltpu.bitcast(_DOT(expand, u_hi).astype(jnp.int32), jnp.uint32)
+            r_lo = pltpu.bitcast(_DOT(expand, u_lo).astype(jnp.int32), jnp.uint32)
+            return (r_hi << 16) | r_lo
+
         def select_kth(keys, mask, k_col):
             """k-th smallest masked key per pulse; k_col (TILE, 1) f32.
 
-            fori_loop over the 32 bits (an unrolled version blows the Mosaic
-            stack-VMEM budget); bit constants derived from the traced index.
+            One radix descent over the 32 bits via fori_loop (an unrolled
+            version blows the Mosaic stack-VMEM budget).  The candidate set
+            is carried as an incrementally-narrowed ``live`` mask — one
+            vector multiply per bit — and the chosen prefix lives purely in
+            pulse space (no per-bit broadcast matmuls; the only per-bit
+            matmuls are the cnt0 group-sum and the take1 row broadcast).
+            The mask is carried as f32 0/1: Mosaic cannot legalize i1
+            vector carries through scf.for.
             """
 
             def body(i, carry):
-                pref, kk = carry
-                b = 31 - i
-                bit = jnp.uint32(1) << b
-                above = ~((bit << 1) - jnp.uint32(1))  # bits strictly above b
-                # Broadcast the per-pulse prefix to row groups.  u32 payloads do
-                # not fit f32; split into hi/lo 16-bit halves for the matmul.
-                # (Mosaic has no u32<->f32 casts — route through i32 bitcasts.)
-                pref_hi = pltpu.bitcast(pref >> 16, jnp.int32).astype(jnp.float32)
-                pref_lo = pltpu.bitcast(pref & jnp.uint32(0xFFFF),
-                                        jnp.int32).astype(jnp.float32)
-                prow_hi = pltpu.bitcast(_DOT(expand, pref_hi).astype(jnp.int32),
-                                        jnp.uint32)
-                prow_lo = pltpu.bitcast(_DOT(expand, pref_lo).astype(jnp.int32),
-                                        jnp.uint32)
-                prow = (prow_hi << 16) | prow_lo
-                live = mask & ((keys & above) == (prow & above))
+                live_f, pref, kk = carry  # live_f: (g, LANES) f32 0/1
+                bit = jnp.uint32(1) << (31 - i)
                 zero_here = (keys & bit) == 0
-                cnt0 = group_sum((live & zero_here).astype(jnp.float32))
-                take1 = kk >= cnt0
+                cnt0 = group_sum(live_f * zero_here.astype(jnp.float32))
+                take1 = kk >= cnt0  # (TILE, 1) bool
                 kk = jnp.where(take1, kk - cnt0, kk)
                 pref = jnp.where(take1, pref | bit, pref)
-                return pref, kk
+                take1_rows = _DOT(expand, take1.astype(jnp.float32)) > 0.5
+                live_f = live_f * (zero_here ^ take1_rows).astype(jnp.float32)
+                return live_f, pref, kk
 
             pref0 = jnp.zeros((TILE, 1), jnp.uint32)
-            pref, _ = jax.lax.fori_loop(0, 32, body, (pref0, k_col))
+            _, pref, _ = jax.lax.fori_loop(
+                0, 32, body, (mask.astype(jnp.float32), pref0, k_col)
+            )
             return pref
 
         def median(buf, mask):
-            keys = _keys_from_f32(buf[...])
+            """Masked median: ONE radix select finds the k_lo-th order
+            statistic v; the k_hi-th (n even) is then either v again (when
+            duplicates of v cover rank k_hi) or the smallest masked value
+            strictly above v — a single masked min, not a second descent."""
+            x = buf[...]
+            keys = _keys_from_f32(x)
             n = group_sum(mask.astype(jnp.float32))
             k_lo = jnp.maximum(jnp.floor((n - 1.0) / 2.0), 0.0)
             k_hi = jnp.maximum(jnp.floor(n / 2.0), 0.0)
-            lo = _f32_from_keys(select_kth(keys, mask, k_lo))
-            hi = _f32_from_keys(select_kth(keys, mask, k_hi))
+            pref = select_kth(keys, mask, k_lo)
+            lo = _f32_from_keys(pref)  # (TILE, 1)
+            prow = bcast_u32(pref)  # (g, 1), exact
+            cnt_le = group_sum((mask & (keys <= prow)).astype(jnp.float32))
+            # min over {x : mask, key > v}; finite sentinel — matmul-based
+            # row selection must never see inf (0 * inf = NaN).
+            big = jnp.float32(3.0e38)
+            cand = jnp.where(mask & (keys > prow), x, big)
+            row_min = jnp.min(cand, axis=1, keepdims=True)  # (g, 1)
+            gm = row_min
+            for r in range(1, rows):
+                # roll by g-r == roll by -r (pltpu.roll wants shift >= 0);
+                # wrap-around only contaminates non-head rows, which the
+                # one-hot head selection zeroes out.
+                gm = jnp.minimum(gm, pltpu.roll(row_min, g - r, axis=0))
+            nxt = _DOT(head_vm[...], gm)  # (TILE, 1): group-head selection
+            hi = jnp.where(cnt_le > k_hi, lo, nxt)
             med = 0.5 * (lo + hi)
             return jnp.where(n > 0, med, jnp.nan)  # (TILE, 1)
 
@@ -270,6 +297,8 @@ def pulse_stats(
     expand = np.zeros((g, TILE), np.float32)
     expand[np.arange(g), np.arange(g) // rows] = 1.0
     sel = expand.T.copy()
+    head = np.zeros((TILE, g), np.float32)  # one-hot group-head rows
+    head[np.arange(TILE), np.arange(TILE) * rows] = 1.0
 
     kernel = functools.partial(
         _stats_kernel, rows=rows, window=window, t_len=t_len, m_lanes=m_lanes,
@@ -287,6 +316,7 @@ def pulse_stats(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # expand
             pl.BlockSpec(memory_space=pltpu.VMEM),  # sel
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # head
         ],
         out_specs=[
             # Whole-array blocks; 8-row strided (see kernel store comment).
@@ -315,5 +345,5 @@ def pulse_stats(
         interpret=interpret,
     )(toa, te,
       mag_cm.reshape(view), dph_cm.reshape(view), sat_cm.reshape(view),
-      toa_vm, te_vm, jnp.asarray(expand), jnp.asarray(sel))
+      toa_vm, te_vm, jnp.asarray(expand), jnp.asarray(sel), jnp.asarray(head))
     return mag_med[::8], dph_med[::8], sat_any[::8]

@@ -1,0 +1,109 @@
+"""Latch-kernel parity: the single-pass Pallas hysteresis scan must produce
+exactly ``cumsum(lead_edge)`` / ``cumsum(trail_edge)`` of the XLA
+associative-scan formulation (``dsp/pdw.py:hysteresis_fns``), including
+carried entry states, and the full sort-free extraction path built on it
+must match the XLA path bit-for-bit."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdr_channelizer_tpu.dsp.pdw import hysteresis_fns
+from sdr_channelizer_tpu.ops.pallas.latch_kernel import pallas_latch_cumsums
+
+
+def _xla_cumsums(mag, lead, trail, entry):
+    ge_lead = jnp.asarray(mag) >= jnp.asarray(lead)[None, :]
+    le_trail = jnp.asarray(mag) <= jnp.asarray(trail)[None, :]
+    a, b = hysteresis_fns(ge_lead, le_trail, axis=0)
+    ent = jnp.asarray(entry)
+    state = jnp.where(ent[None, :], b, a)
+    prev = jnp.concatenate([ent[None, :], state[:-1]])
+    lead_edge = state & ~prev
+    trail_edge = ~state & prev
+    return (np.asarray(jnp.cumsum(lead_edge.astype(jnp.int32), axis=0)),
+            np.asarray(jnp.cumsum(trail_edge.astype(jnp.int32), axis=0)))
+
+
+@pytest.mark.parametrize("seed,t_len,m", [(0, 4096, 8), (1, 5000, 8),
+                                          (2, 2048, 16)])
+def test_latch_cumsums_match_xla(seed, t_len, m):
+    rng = np.random.default_rng(seed)
+    mag = np.abs(rng.standard_normal((t_len, m))).astype(np.float32)
+    # Thresholds inside the magnitude distribution so the latch toggles a
+    # lot, with lead > trail (the hysteresis band).
+    lead = rng.uniform(1.0, 1.6, m).astype(np.float32)
+    trail = rng.uniform(0.3, 0.9, m).astype(np.float32)
+    entry = rng.random(m) < 0.5
+
+    cl, ct = pallas_latch_cumsums(
+        jnp.asarray(mag), jnp.asarray(lead), jnp.asarray(trail),
+        jnp.asarray(entry), t_blk=1024, interpret=True,
+    )
+    ref_cl, ref_ct = _xla_cumsums(mag, lead, trail, entry)
+    np.testing.assert_array_equal(np.asarray(cl).astype(np.int64), ref_cl)
+    np.testing.assert_array_equal(np.asarray(ct).astype(np.int64), ref_ct)
+
+
+def test_latch_cumsums_default_entry_and_padding():
+    """No entry arg == all-inactive, and non-multiple-of-block lengths pad
+    with -inf (latch resets in the pad; visible rows unaffected)."""
+    rng = np.random.default_rng(7)
+    t_len, m = 3000, 8  # not a multiple of t_blk
+    mag = np.abs(rng.standard_normal((t_len, m))).astype(np.float32)
+    lead = np.full(m, 1.4, np.float32)
+    trail = np.full(m, 0.6, np.float32)
+    cl, ct = pallas_latch_cumsums(
+        jnp.asarray(mag), jnp.asarray(lead), jnp.asarray(trail),
+        t_blk=2048, interpret=True,
+    )
+    ref_cl, ref_ct = _xla_cumsums(mag, lead, trail, np.zeros(m, bool))
+    np.testing.assert_array_equal(np.asarray(cl).astype(np.int64), ref_cl)
+    np.testing.assert_array_equal(np.asarray(ct).astype(np.int64), ref_ct)
+    assert cl.shape == (t_len, m)
+
+
+def test_sort_free_extraction_parity(monkeypatch):
+    """Force the TPU sort-free gate on (latch kernel + searchsorted on f32
+    cumsums + radix-select medians) and compare the full channelized
+    extraction against the default CPU path — must agree exactly."""
+    from sdr_channelizer_tpu.config import PdwConfig
+    from sdr_channelizer_tpu.dsp import pdw as pdwmod
+    from sdr_channelizer_tpu.dsp.channelizer import Channelizer, channelize
+    from sdr_channelizer_tpu.ops import medians
+    from sdr_channelizer_tpu.signal.synth import PulseTrainSpec, pulse_train
+
+    specs = [
+        PulseTrainSpec(sample_rate_sps=8e6, duration_sec=4e-3,
+                       frequency_hz=2.3e6, pulse_width_sec=100e-6,
+                       pri_sec=500e-6, start_index=1234, noise_std=3e-3),
+        PulseTrainSpec(sample_rate_sps=8e6, duration_sec=4e-3,
+                       frequency_hz=-1.1e6, pulse_width_sec=700e-6,
+                       pri_sec=1500e-6, start_index=100),
+    ]
+    iq = (pulse_train(specs[0], seed=7)
+          + pulse_train(specs[1], seed=8)).astype(np.complex64)
+    n = len(iq) // 8 * 8
+    y = channelize(jnp.asarray(iq[:n]), Channelizer.create(8), method="dft")
+    mag, ph, sat = pdwmod._prep_streams(y, 0.9999)
+    cfg = PdwConfig.channelized(max_pulses=64, max_pulse_samples=512)
+
+    ref = pdwmod.extract_pdws_channelized_streams(mag, ph, sat, cfg,
+                                                  stats="pallas")
+    monkeypatch.setattr(medians, "use_sort_free", lambda: True)
+    got = pdwmod.extract_pdws_channelized_streams(mag, ph, sat, cfg,
+                                                  stats="pallas")
+
+    np.testing.assert_array_equal(np.asarray(got.count), np.asarray(ref.count))
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
+    np.testing.assert_array_equal(np.asarray(got.toa_idx),
+                                  np.asarray(ref.toa_idx))
+    np.testing.assert_array_equal(np.asarray(got.te_idx),
+                                  np.asarray(ref.te_idx))
+    np.testing.assert_array_equal(np.asarray(got.mag), np.asarray(ref.mag))
+    np.testing.assert_array_equal(np.asarray(got.saturated),
+                                  np.asarray(ref.saturated))
+    np.testing.assert_allclose(np.asarray(got.freq_offset_hz),
+                               np.asarray(ref.freq_offset_hz), rtol=3e-7)
+    np.testing.assert_allclose(np.asarray(got.snr_db),
+                               np.asarray(ref.snr_db), rtol=0, atol=2e-5)
