@@ -4,6 +4,8 @@ Run directly (no PYTHONPATH override - that disables the TPU platform);
 keep runs under ~9 minutes and never run two TPU processes at once (see
 CLAUDE.md).
 """
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys, time, numpy as np, jax, jax.numpy as jnp
 def log(*a): print(*a, file=sys.stderr, flush=True)
 def sync(tree):
