@@ -144,11 +144,15 @@ class ChannelizerPipeline:
     ) -> dict:
         """Raw (N, 2) payload -> host PDW dict via the fused kernel.
 
-        int16 payloads go as the packed int32 plane (zero-copy view of the
-        on-disk bytes); float payloads go as planes."""
+        int16 payloads go as the packed int32 plane and int8 payloads as
+        the packed int16 plane (zero-copy views of the on-disk bytes);
+        float payloads go as planes."""
         samples = np.ascontiguousarray(samples)
         if samples.dtype == np.int16:
             xq = samples.view(np.int32).ravel()
+            _, _, batch = self._jit_forward_packed(xq, bit_width=bit_width)
+        elif samples.dtype == np.int8:
+            xq = samples.view(np.int16).ravel()
             _, _, batch = self._jit_forward_packed(xq, bit_width=bit_width)
         else:
             xr = np.ascontiguousarray(samples[:, 0])

@@ -273,12 +273,19 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
     # unscaled inputs slice the scratch directly (a hoisted copy only adds
     # a full-window pass there).
     dequant = packed or scale != 1.0 or buf_r.dtype != jnp.float32
-    if packed:
+    if packed and buf_r.dtype == jnp.int32:
         # int32-packed int16 I/Q pair: low half = I, high half = Q
         # (little-endian interleave), sign-extended by arithmetic shifts.
         v = buf_r[slot]
         vi_win = ((v << 16) >> 16).astype(jnp.float32) * scale
         vq_win = (v >> 16).astype(jnp.float32) * scale
+    elif packed:
+        # int16-packed int8 I/Q pair (8-bit recordings): low byte = I,
+        # high byte = Q.  Widen to i32 first — Mosaic's 16-bit shift
+        # support is narrower than its 32-bit support.
+        v = buf_r[slot].astype(jnp.int32)
+        vi_win = ((v << 24) >> 24).astype(jnp.float32) * scale
+        vq_win = (v >> 8).astype(jnp.float32) * scale
     elif dequant:
         vi_win = buf_r[slot].astype(jnp.float32) * scale
         vq_win = buf_i[slot].astype(jnp.float32) * scale
@@ -409,10 +416,13 @@ def pallas_channelize_streams_packed(
 ):
     """Packed-payload variant of :func:`pallas_channelize_streams`.
 
-    ``xq``: 1-D int32 plane where each element packs one interleaved int16
-    (I, Q) pair — exactly ``samples.view(np.int32)`` of an ``(N, 2)`` int16
-    recorder payload, so the on-disk bytes go to the device untouched and
-    the kernel does the sign-extension and Q-format dequant.  Half the
+    ``xq``: 1-D plane where each element packs one interleaved (I, Q)
+    pair: int32 for int16 payloads (``samples.view(np.int32)`` of an
+    ``(N, 2)`` int16 recording, 12/16-bit) or int16 for int8 payloads
+    (``samples.view(np.int16)`` of an ``(N, 2)`` int8 recording, 8-bit,
+    ``blade_record_iq_08bit.cpp`` SC8_Q7 wire format).  The on-disk bytes
+    go to the device untouched and the kernel does the sign-extension and
+    Q-format dequant — half (int16) or a quarter (int8) of the
     host->device traffic of the f32-planes path.
     """
     p, m = taps_rev.shape

@@ -17,12 +17,20 @@ the "obvious" versions did not):
   DMA'd into a 2-D ``(TILE*rows, 128)`` scratch (3-D scratch indexing and
   scalar->vector ``stack`` both fail to lower);
 * per-pulse constants (toa/te) reach vector-land through VMEM inputs plus
-  two constant 0/1 matrices: ``EXPAND (TILE*rows, TILE)`` broadcasts a
-  per-pulse column to its row group and ``SEL = EXPAND^T`` group-sums row
-  reductions back to per-pulse values — MXU matmuls instead of unsupported
+  a constant 0/1 ``EXPAND (TILE*rows, TILE)`` matrix that broadcasts a
+  per-pulse column to its row group — an MXU matmul instead of unsupported
   reshapes (all integer payloads < 2^24 so f32 matmuls are exact);
+* inside the radix loop every per-pulse scalar lives in *row space*
+  (a ``(g, 1)`` column with the value replicated across its group) and
+  group reductions are log-tree sublane rolls (Hillis-Steele prefix +
+  doubling tail broadcast, ``2*ceil(log2(rows))`` rolls) — the earlier
+  EXPAND/SEL matmul formulation serialized a VPU<->MXU round-trip per
+  radix bit and dominated the kernel's runtime, and naive roll chains
+  scale linearly with the window;
+* the magnitude and phase-difference median descents share ONE 32-step
+  fori_loop (independent chains interleave to fill VPU pipeline stalls);
 * the final ``(TILE, 1) -> (1, TILE)`` transpose is ``ones(1,TILE) @
-  diag(vals)``.
+  diag(vals)`` after a one-hot group-head extraction.
 
 Exactness: identical order statistics and mean-of-two-middles as
 ``ops.medians.masked_median`` — PDWs match the XLA path bit-for-bit.
@@ -62,11 +70,16 @@ def _f32_from_keys(u):
 
 
 def _stats_kernel(toa_sm, te_sm, mag_hbm, dph_hbm, sat_hbm,
-                  toa_vm, te_vm, expand_vm, sel_vm, head_vm,
+                  toa_vm, te_vm, expand_vm, head_vm,
                   mag_out, dph_out, sat_out,
                   mag_buf, dph_buf, sat_buf, sems,
                   *, rows: int, window: int, t_len: int, m_lanes: int):
-    """Grid (M, P_slots // TILE): channel c, pulse tile j."""
+    """Grid (M, P_slots // TILE): channel c, pulse tile j.
+
+    The three streams stay separate 128-lane arrays: Mosaic gives
+    exactly-128-lane HBM memrefs a flat layout where arbitrary-row DMA
+    slices are legal; wider (e.g. lane-fused 384) arrays get a tiled
+    layout that rejects non-8-aligned row counts."""
     c = pl.program_id(0)
     j = pl.program_id(1)
     n_rows_total = mag_hbm.shape[1]
@@ -132,88 +145,141 @@ def _stats_kernel(toa_sm, te_sm, mag_hbm, dph_hbm, sat_hbm,
                 for cp in slot_copies(s):
                     cp.wait()
 
-        sel = sel_vm[...]
+        # --- row-space group arithmetic (no MXU in the hot loop) ---
+        # Every per-pulse scalar lives as a (g, 1) column with the value
+        # replicated across its `rows`-row group.  Group reductions are
+        # roll-chains over the column (cheap VPU ops on a 1-lane vector)
+        # instead of EXPAND/SEL matmuls: the matmul formulation serialized a
+        # VPU<->MXU ping-pong per radix bit, which dominated the kernel.
+        wcol = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+        wcol = wcol - (wcol // rows) * rows  # row index within its group
 
-        def group_sum(x_f32):  # (g, LANES) -> (TILE, 1)
-            return _DOT(sel, jnp.sum(x_f32, axis=1, keepdims=True))
+        def gsum_col(col):
+            """(g, 1) -> (g, 1): per-group total, replicated to the group.
 
-        def bcast_u32(u_col):
-            """Per-pulse u32 (TILE, 1) -> row space (g, 1).  u32 payloads do
-            not fit f32; split into hi/lo 16-bit halves for the matmul.
-            (Mosaic has no u32<->f32 casts — route through i32 bitcasts.)"""
-            u_hi = pltpu.bitcast(u_col >> 16, jnp.int32).astype(jnp.float32)
-            u_lo = pltpu.bitcast(u_col & jnp.uint32(0xFFFF),
-                                 jnp.int32).astype(jnp.float32)
-            r_hi = pltpu.bitcast(_DOT(expand, u_hi).astype(jnp.int32), jnp.uint32)
-            r_lo = pltpu.bitcast(_DOT(expand, u_lo).astype(jnp.int32), jnp.uint32)
-            return (r_hi << 16) | r_lo
+            Log-tree: a Hillis-Steele inclusive prefix within the group
+            followed by a doubling broadcast of the group-tail value —
+            2*ceil(log2(rows)) rolls instead of the 2*(rows-1) of the naive
+            chain (whose cost scales quadratically with the window)."""
+            out = col
+            s = 1
+            while s < rows:
+                out = out + jnp.where(wcol >= s,
+                                      pltpu.roll(out, s, axis=0), 0.0)
+                s <<= 1
+            s = 1
+            while s < rows:
+                out = jnp.where(wcol + s <= rows - 1,
+                                pltpu.roll(out, g - s, axis=0), out)
+                s <<= 1
+            return out
 
-        def select_kth(keys, mask, k_col):
-            """k-th smallest masked key per pulse; k_col (TILE, 1) f32.
+        def gmin_col(col, big):
+            out = col
+            s = 1
+            while s < rows:
+                out = jnp.minimum(
+                    out, jnp.where(wcol >= s, pltpu.roll(out, s, axis=0), big)
+                )
+                s <<= 1
+            s = 1
+            while s < rows:
+                out = jnp.where(wcol + s <= rows - 1,
+                                pltpu.roll(out, g - s, axis=0), out)
+                s <<= 1
+            return out
 
-            One radix descent over the 32 bits via fori_loop (an unrolled
-            version blows the Mosaic stack-VMEM budget).  The candidate set
-            is carried as an incrementally-narrowed ``live`` mask — one
-            vector multiply per bit — and the chosen prefix lives purely in
-            pulse space (no per-bit broadcast matmuls; the only per-bit
-            matmuls are the cnt0 group-sum and the take1 row broadcast).
-            The mask is carried as f32 0/1: Mosaic cannot legalize i1
-            vector carries through scf.for.
-            """
+        def gsum(x_f32):  # (g, LANES) -> (g, 1) group totals
+            return gsum_col(jnp.sum(x_f32, axis=1, keepdims=True))
+
+        def select_kth_pair(keys_a, mask_a, k_a, keys_b, mask_b, k_b):
+            """k-th smallest masked key per pulse for TWO independent
+            selections (magnitude and phase-diff medians) in one fori_loop
+            over the 32 bits — the chains have no data dependence on each
+            other, so interleaving them fills the VPU pipeline stalls of
+            each one's serial count->compare->narrow chain and halves the
+            loop-control overhead.  (A fully unrolled version blows the
+            Mosaic stack-VMEM budget.)  All per-pulse state (prefix,
+            remaining rank) stays in row space so the body is matmul-free;
+            live masks are carried as f32 0/1 — Mosaic cannot legalize i1
+            vector carries through scf.for."""
 
             def body(i, carry):
-                live_f, pref, kk = carry  # live_f: (g, LANES) f32 0/1
+                la, pa, ka, lb, pb, kb = carry
                 bit = jnp.uint32(1) << (31 - i)
-                zero_here = (keys & bit) == 0
-                cnt0 = group_sum(live_f * zero_here.astype(jnp.float32))
-                take1 = kk >= cnt0  # (TILE, 1) bool
-                kk = jnp.where(take1, kk - cnt0, kk)
-                pref = jnp.where(take1, pref | bit, pref)
-                take1_rows = _DOT(expand, take1.astype(jnp.float32)) > 0.5
-                live_f = live_f * (zero_here ^ take1_rows).astype(jnp.float32)
-                return live_f, pref, kk
+                za = (keys_a & bit) == 0
+                zb = (keys_b & bit) == 0
+                ca = gsum(la * za.astype(jnp.float32))
+                cb = gsum(lb * zb.astype(jnp.float32))
+                ta = ka >= ca  # (g, 1) bool, uniform within a group
+                tb = kb >= cb
+                ka = jnp.where(ta, ka - ca, ka)
+                kb = jnp.where(tb, kb - cb, kb)
+                pa = jnp.where(ta, pa | bit, pa)
+                pb = jnp.where(tb, pb | bit, pb)
+                la = la * (za ^ ta).astype(jnp.float32)
+                lb = lb * (zb ^ tb).astype(jnp.float32)
+                return la, pa, ka, lb, pb, kb
 
-            pref0 = jnp.zeros((TILE, 1), jnp.uint32)
-            _, pref, _ = jax.lax.fori_loop(
-                0, 32, body, (mask.astype(jnp.float32), pref0, k_col)
+            z = jnp.zeros((g, 1), jnp.uint32)
+            _, pa, _, _, pb, _ = jax.lax.fori_loop(
+                0, 32, body,
+                (mask_a.astype(jnp.float32), z, k_a,
+                 mask_b.astype(jnp.float32), z, k_b),
             )
-            return pref
+            return pa, pb
 
-        def median(buf, mask):
-            """Masked median: ONE radix select finds the k_lo-th order
-            statistic v; the k_hi-th (n even) is then either v again (when
-            duplicates of v cover rank k_hi) or the smallest masked value
-            strictly above v — a single masked min, not a second descent."""
-            x = buf[...]
-            keys = _keys_from_f32(x)
-            n = group_sum(mask.astype(jnp.float32))
-            k_lo = jnp.maximum(jnp.floor((n - 1.0) / 2.0), 0.0)
-            k_hi = jnp.maximum(jnp.floor(n / 2.0), 0.0)
-            pref = select_kth(keys, mask, k_lo)
-            lo = _f32_from_keys(pref)  # (TILE, 1)
-            prow = bcast_u32(pref)  # (g, 1), exact
-            cnt_le = group_sum((mask & (keys <= prow)).astype(jnp.float32))
-            # min over {x : mask, key > v}; finite sentinel — matmul-based
-            # row selection must never see inf (0 * inf = NaN).
-            big = jnp.float32(3.0e38)
-            cand = jnp.where(mask & (keys > prow), x, big)
-            row_min = jnp.min(cand, axis=1, keepdims=True)  # (g, 1)
-            gm = row_min
-            for r in range(1, rows):
-                # roll by g-r == roll by -r (pltpu.roll wants shift >= 0);
-                # wrap-around only contaminates non-head rows, which the
-                # one-hot head selection zeroes out.
-                gm = jnp.minimum(gm, pltpu.roll(row_min, g - r, axis=0))
-            nxt = _DOT(head_vm[...], gm)  # (TILE, 1): group-head selection
-            hi = jnp.where(cnt_le > k_hi, lo, nxt)
-            med = 0.5 * (lo + hi)
-            return jnp.where(n > 0, med, jnp.nan)  # (TILE, 1)
+        def median_pair(xa, mask_a, xb, mask_b):
+            """Masked medians of two fields sharing one radix descent loop.
 
-        def to_row(col):  # (TILE, 1) -> (1, TILE) without reshape/transpose
+            ONE radix select finds each k_lo-th order statistic v; the
+            k_hi-th (n even) is then either v again (when duplicates of v
+            cover rank k_hi) or the smallest masked value strictly above v
+            — a single masked min, not a second descent.  Returns two
+            (med0, n) row-space column pairs (NaN-free: the group-head
+            extraction is a matmul and 0 * NaN = NaN would poison every
+            pulse in the tile; the empty-pulse NaN is applied after
+            extraction via the n column)."""
+            keys_a = _keys_from_f32(xa)
+            keys_b = _keys_from_f32(xb)
+            na = gsum(mask_a.astype(jnp.float32))
+            nb = gsum(mask_b.astype(jnp.float32))
+            k_lo = lambda n: jnp.maximum(jnp.floor((n - 1.0) / 2.0), 0.0)
+            pa, pb = select_kth_pair(keys_a, mask_a, k_lo(na),
+                                     keys_b, mask_b, k_lo(nb))
+
+            def finish(x, keys, mask, n, pref):
+                k_hi = jnp.maximum(jnp.floor(n / 2.0), 0.0)
+                lo = _f32_from_keys(pref)  # (g, 1)
+                cnt_le = gsum((mask & (keys <= pref)).astype(jnp.float32))
+                # min over {x : mask, key > v}; finite sentinel — masked
+                # roll reduction must never see inf (0 * inf = NaN).
+                big = jnp.float32(3.0e38)
+                cand = jnp.where(mask & (keys > pref), x, big)
+                nxt = gmin_col(jnp.min(cand, axis=1, keepdims=True), big)
+                hi = jnp.where(cnt_le > k_hi, lo, nxt)
+                med = 0.5 * (lo + hi)
+                return jnp.where(n > 0, med, 0.0), n  # (g, 1) x2
+
+            return (finish(xa, keys_a, mask_a, na, pa),
+                    finish(xb, keys_b, mask_b, nb, pb))
+
+        head = head_vm[...]  # (TILE, g) one-hot group-head selector
+
+        def to_row(col):  # (g, 1) row-space column -> (1, TILE)
+            vals = _DOT(head, col)  # (TILE, 1) group-head extraction
             diag = (jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
                     == jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1))
             return _DOT(jnp.ones((1, TILE), jnp.float32),
-                        jnp.where(diag, col, 0.0))
+                        jnp.where(diag, vals, 0.0))
+
+        def med_row(med_n):  # (med0, n) row-space -> (1, TILE) with NaNs
+            med0, n = med_n
+            return jnp.where(to_row(n) > 0.0, to_row(med0),
+                             jnp.float32(np.nan))
+
+        mag_mn, dph_mn = median_pair(mag_buf[...], m_mask,
+                                     dph_buf[...], d_mask)
 
         # Mosaic dynamic stores need 8-aligned sublane offsets: outputs are
         # 8-row strided (row c*8), written as an aligned (8, TILE) broadcast
@@ -221,9 +287,9 @@ def _stats_kernel(toa_sm, te_sm, mag_hbm, dph_hbm, sat_hbm,
         off = pl.multiple_of(j * TILE, TILE)
         row = pl.multiple_of(c * 8, 8)
         eight = jnp.ones((8, 1), jnp.float32)
-        mag_out[pl.ds(row, 8), pl.ds(off, TILE)] = eight * to_row(median(mag_buf, m_mask))
-        dph_out[pl.ds(row, 8), pl.ds(off, TILE)] = eight * to_row(median(dph_buf, d_mask))
-        sat_col = group_sum(jnp.where(s_mask, sat_buf[...], 0.0))
+        mag_out[pl.ds(row, 8), pl.ds(off, TILE)] = eight * med_row(mag_mn)
+        dph_out[pl.ds(row, 8), pl.ds(off, TILE)] = eight * med_row(dph_mn)
+        sat_col = gsum(jnp.where(s_mask, sat_buf[...], 0.0))
         sat_out[pl.ds(row, 8), pl.ds(off, TILE)] = eight * to_row(
             jnp.where(sat_col > 0.5, 1.0, 0.0)
         )
@@ -296,7 +362,6 @@ def pulse_stats(
 
     expand = np.zeros((g, TILE), np.float32)
     expand[np.arange(g), np.arange(g) // rows] = 1.0
-    sel = expand.T.copy()
     head = np.zeros((TILE, g), np.float32)  # one-hot group-head rows
     head[np.arange(TILE), np.arange(TILE) * rows] = 1.0
 
@@ -307,15 +372,14 @@ def pulse_stats(
         num_scalar_prefetch=2,
         grid=(m, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),  # mag stream
+            pl.BlockSpec(memory_space=pl.ANY),  # dph stream
+            pl.BlockSpec(memory_space=pl.ANY),  # sat stream
             pl.BlockSpec((TILE, m_lanes), lambda c, j, *_: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, m_lanes), lambda c, j, *_: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # expand
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # sel
             pl.BlockSpec(memory_space=pltpu.VMEM),  # head
         ],
         out_specs=[
@@ -345,5 +409,5 @@ def pulse_stats(
         interpret=interpret,
     )(toa, te,
       mag_cm.reshape(view), dph_cm.reshape(view), sat_cm.reshape(view),
-      toa_vm, te_vm, jnp.asarray(expand), jnp.asarray(sel), jnp.asarray(head))
+      toa_vm, te_vm, jnp.asarray(expand), jnp.asarray(head))
     return mag_med[::8], dph_med[::8], sat_any[::8]

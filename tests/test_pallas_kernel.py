@@ -96,3 +96,46 @@ def test_streams_kernel_matches_prep(tmp_path):
     batch_ref = pdwmod.extract_pdws_channelized(y, cfg)
     assert int(np.asarray(batch.count).sum()) == int(np.asarray(batch_ref.count).sum())
     np.testing.assert_array_equal(np.asarray(batch.toa_idx), np.asarray(batch_ref.toa_idx))
+
+
+@pytest.mark.parametrize("bit_width", [12, 16, 8])
+def test_packed_ingest_matches_planes(bit_width):
+    """Packed payload ingest (int32 plane for int16 recordings, int16 plane
+    for int8 recordings) is bit-identical to the f32-planes dequant path —
+    the in-kernel sign-extension/unpack must reproduce the host split
+    exactly (``blade_record_iq_12bit.cpp`` / ``blade_record_iq_08bit.cpp``
+    wire formats)."""
+    from sdr_channelizer_tpu.io import iqpacket
+    from sdr_channelizer_tpu.ops.pallas.channelizer_kernel import (
+        pallas_channelize_streams, pallas_channelize_streams_packed,
+    )
+    from sdr_channelizer_tpu.signal.synth import PulseTrainSpec, pulse_train
+
+    m = 8
+    spec = PulseTrainSpec(sample_rate_sps=8e6, duration_sec=1e-3,
+                          frequency_hz=1.7e6, pulse_width_sec=60e-6,
+                          pri_sec=300e-6, start_index=101, noise_std=5e-3)
+    iq = pulse_train(spec, seed=7)
+    samples = iqpacket.from_complex(iq, bit_width)  # (N, 2) int16 or int8
+    n = len(iq) // m * m
+    samples = np.ascontiguousarray(samples[:n])
+    chan = Channelizer.create(m)
+
+    xr = np.ascontiguousarray(samples[:, 0])
+    xi = np.ascontiguousarray(samples[:, 1])
+    mag_p, ph_p, sat_p = pallas_channelize_streams(
+        jnp.asarray(xr), jnp.asarray(xi), chan.taps_rev, bit_width=bit_width,
+        block_frames=256, interpret=True,
+    )
+
+    # Byte-for-byte the on-disk payload, viewed as one packed lane/sample.
+    packed_dt = np.int16 if samples.dtype == np.int8 else np.int32
+    xq = samples.view(packed_dt).ravel()
+    assert xq.nbytes == samples.nbytes
+    mag_q, ph_q, sat_q = pallas_channelize_streams_packed(
+        jnp.asarray(xq), chan.taps_rev, bit_width=bit_width,
+        block_frames=256, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(mag_q), np.asarray(mag_p))
+    np.testing.assert_array_equal(np.asarray(ph_q), np.asarray(ph_p))
+    np.testing.assert_array_equal(np.asarray(sat_q), np.asarray(sat_p))

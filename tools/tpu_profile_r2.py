@@ -149,6 +149,17 @@ f_stats = jax.jit(lambda a, b, c, u, v: pulse_stats(a, b, c, u, v, window=cfg.ma
 _, dt = timeit("pulse_stats_kernel", f_stats, mag_cm, dph_cm, sat_cm, toa_d, te_d)
 results["pulse_stats_ms"] = dt * 1e3
 
+# Cost decomposition probes: short window (rows=3 vs 9) isolates the
+# roll-chain / field-size scaling; clamping the te to toa (1-sample
+# pulses, same slot count) isolates per-slot DMA-issue + loop overhead.
+f_stats256 = jax.jit(lambda a, b, c, u, v: pulse_stats(a, b, c, u, v, window=256))
+_, dt = timeit("pulse_stats_w256", f_stats256, mag_cm, dph_cm, sat_cm, toa_d, te_d)
+results["pulse_stats_w256_ms"] = dt * 1e3
+te_min = jnp.where(te_d < mag_cm.shape[1], toa_d, te_d)
+_, dt = timeit("pulse_stats_w256_len1", f_stats256, mag_cm, dph_cm, sat_cm,
+               toa_d, te_min)
+results["pulse_stats_w256_len1_ms"] = dt * 1e3
+
 f_extract = jax.jit(lambda a, b, c, v: pdwmod.extract_pdws_channelized_streams(
     a, b, c > 0.5, cfg, noise_floor=v))
 _, dt = timeit("extract_given_streams", f_extract, mag, ph, sat, nf)
