@@ -435,6 +435,7 @@ def _extract_channelized_pallas_stats(
     from sdr_channelizer_tpu.ops.pallas.pulse_stats_kernel import (
         TILE,
         pulse_stats,
+        pulse_stats_dense,
         stats_kernel_feasible,
     )
 
@@ -506,13 +507,27 @@ def _extract_channelized_pallas_stats(
     valid = jnp.arange(p_slots)[None, :] < count[:, None]
 
     # Channel-major streams for the stats kernel.
-    dph = phase_deg[1:] - phase_deg[:-1]
-    dph = jnp.where(dph < -180.0, dph + 360.0, dph)
-    dph = jnp.where(dph > 180.0, dph - 360.0, dph)
-    dph = jnp.concatenate([dph, jnp.zeros((1, m), dph.dtype)])
-    mag_cm = mag.T
-    dph_cm = dph.T
-    sat_cm = sat.astype(jnp.float32).T
+    def xla_cm_streams():
+        dph = phase_deg[1:] - phase_deg[:-1]
+        dph = jnp.where(dph < -180.0, dph + 360.0, dph)
+        dph = jnp.where(dph > 180.0, dph - 360.0, dph)
+        dph = jnp.concatenate([dph, jnp.zeros((1, m), dph.dtype)])
+        return mag.T, dph.T, sat.astype(jnp.float32).T
+
+    if medians.use_sort_free():
+        # Fused MXU transpose + wrapped phase diff (XLA's transpose of the
+        # (T, M) detection streams is ~8 ms/16.7M samples on v5e — an order
+        # of magnitude over its HBM bound).  Returns (128, T_padded) arrays;
+        # the stats kernel takes the true t_len instead of a slice.
+        from sdr_channelizer_tpu.ops.pallas.transpose_kernel import (
+            pallas_cm_streams,
+        )
+
+        mag_cm, dph_cm, sat_cm = pallas_cm_streams(
+            mag, phase_deg, sat.astype(jnp.float32)
+        )
+    else:
+        mag_cm, dph_cm, sat_cm = xla_cm_streams()
 
     sw = _SHORT_WINDOW
     if w > sw and stats_kernel_feasible(t_len, sw):
@@ -521,37 +536,52 @@ def _extract_channelized_pallas_stats(
         # far shorter than the max_pulse_samples bound — route pulses with
         # plen <= 256 through a 3-row kernel and only the rare long ones
         # through the full-window kernel (identical masked medians either
-        # way; the mask, not the window, delimits the pulse).
-        matched_te = te_idx < t_len
-        plen = te_idx - toa_idx + 1
-        is_short = (toa_idx < t_len) & matched_te & (plen <= sw)
-        is_long = (toa_idx < t_len) & ~is_short
+        # way; the mask, not the window, delimits the pulse).  Each tier is
+        # compacted into ONE dense cross-channel slot list: the kernel's
+        # cost scales with occupied 128-pulse tiles, so all channels' rare
+        # long pulses share a handful of tiles instead of fragmenting one
+        # tile per channel, and sparse captures pay per pulse, not per
+        # M * max_pulses capacity.
+        n_flat = m * p_slots
+        flat_toa = toa_idx.reshape(-1)
+        flat_te = te_idx.reshape(-1)
+        chan_f = jnp.broadcast_to(
+            jnp.arange(m, dtype=jnp.int32)[:, None], (m, p_slots)
+        ).reshape(-1)
+        plen = flat_te - flat_toa + 1
+        valid_slot = flat_toa < t_len
+        is_short = valid_slot & (flat_te < t_len) & (plen <= sw)
+        is_long = valid_slot & ~is_short
 
-        def part(sel_row, toa_row, te_row):
-            rank = jnp.cumsum(sel_row.astype(jnp.int32)) - 1
-            rank = jnp.where(sel_row, rank, p_slots)
-            base = jnp.full((p_slots,), t_len, jnp.int32)
-            return (base.at[rank].set(toa_row, mode="drop"),
-                    base.at[rank].set(te_row, mode="drop"), rank)
+        def part(sel):
+            rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
+            rank = jnp.where(sel, rank, n_flat)
+            base = jnp.full((n_flat,), t_len, jnp.int32)
+            return (base.at[rank].set(flat_toa, mode="drop"),
+                    base.at[rank].set(flat_te, mode="drop"),
+                    jnp.zeros((n_flat,), jnp.int32).at[rank].set(
+                        chan_f, mode="drop"),
+                    jnp.minimum(rank, n_flat - 1))
 
-        toa_s, te_s, rank_s = jax.vmap(part)(is_short, toa_idx, te_idx)
-        toa_l, te_l, rank_l = jax.vmap(part)(is_long, toa_idx, te_idx)
-        outs_s = pulse_stats(mag_cm, dph_cm, sat_cm, toa_s, te_s, window=sw)
-        outs_l = pulse_stats(mag_cm, dph_cm, sat_cm, toa_l, te_l, window=w)
-        gr_s = jnp.minimum(rank_s, p_slots - 1)
-        gr_l = jnp.minimum(rank_l, p_slots - 1)
+        toa_s, te_s, ch_s, rank_s = part(is_short)
+        toa_l, te_l, ch_l, rank_l = part(is_long)
+        outs_s = pulse_stats_dense(mag_cm, dph_cm, sat_cm, toa_s, te_s, ch_s,
+                                   window=sw, t_len=t_len)
+        outs_l = pulse_stats_dense(mag_cm, dph_cm, sat_cm, toa_l, te_l, ch_l,
+                                   window=w, t_len=t_len)
+        is_short_2d = is_short.reshape(m, p_slots)
 
         def mergev(vs, vl):
-            return jnp.where(is_short,
-                             jnp.take_along_axis(vs, gr_s, axis=1),
-                             jnp.take_along_axis(vl, gr_l, axis=1))
+            return jnp.where(is_short_2d,
+                             vs[rank_s].reshape(m, p_slots),
+                             vl[rank_l].reshape(m, p_slots))
 
         med_mag, med_dph, sat_any = (
             mergev(vs, vl) for vs, vl in zip(outs_s, outs_l)
         )
     else:
         med_mag, med_dph, sat_any = pulse_stats(
-            mag_cm, dph_cm, sat_cm, toa_idx, te_idx, window=w,
+            mag_cm, dph_cm, sat_cm, toa_idx, te_idx, window=w, t_len=t_len,
         )
 
     snr = 10.0 * jnp.log10(med_mag / noise_floor[:, None])

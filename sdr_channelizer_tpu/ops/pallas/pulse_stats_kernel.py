@@ -13,13 +13,21 @@ the "obvious" versions did not):
 * streams are channel-major ``(M, T/128, 128)`` so any pulse window is
   covered by a lane-aligned ``(rows, 128)`` block; the *mask*, not
   extraction, delimits the pulse (absolute sample index rebuilt from iota);
-* one grid step = one 128-pulse tile of one channel.  The tile's blocks are
-  DMA'd into a 2-D ``(TILE*rows, 128)`` scratch (3-D scratch indexing and
-  scalar->vector ``stack`` both fail to lower);
-* per-pulse constants (toa/te) reach vector-land through VMEM inputs plus
-  a constant 0/1 ``EXPAND (TILE*rows, TILE)`` matrix that broadcasts a
-  per-pulse column to its row group — an MXU matmul instead of unsupported
-  reshapes (all integer payloads < 2^24 so f32 matmuls are exact);
+* pulses form one flat **dense slot list** with a per-slot channel id and
+  a 1-D tile grid — one grid step = one 128-pulse tile, from any mix of
+  channels.  The kernel's cost scales with *occupied tiles*, so callers
+  compact their pulses to the front (``extract_pdws_channelized_streams``
+  packs all channels' pulses together per window tier) and sparse captures
+  pay for the pulses they have, not for ``M * max_pulses`` capacity.
+  Per-tile ``live`` flags (prefetched scalars) skip empty tiles without
+  any ordering contract on the slots;
+* the tile's windows are DMA'd into a 2-D ``(TILE*rows, 128)`` scratch
+  (3-D scratch indexing and scalar->vector ``stack`` both fail to lower);
+* per-pulse constants (toa/te) reach vector-land through (1, TILE) VMEM
+  blocks (transposed to columns with a diagonal mask) plus a constant 0/1
+  ``EXPAND (TILE*rows, TILE)`` matrix that broadcasts a per-pulse column
+  to its row group — an MXU matmul instead of unsupported reshapes (all
+  integer payloads < 2^24 so f32 matmuls are exact);
 * inside the radix loop every per-pulse scalar lives in *row space*
   (a ``(g, 1)`` column with the value replicated across its group) and
   group reductions are log-tree sublane rolls (Hillis-Steele prefix +
@@ -69,33 +77,31 @@ def _f32_from_keys(u):
     return pltpu.bitcast(raw, jnp.float32)
 
 
-def _stats_kernel(toa_sm, te_sm, mag_hbm, dph_hbm, sat_hbm,
+def _stats_kernel(live_sm, toa_sm, te_sm, chan_sm,
+                  mag_hbm, dph_hbm, sat_hbm,
                   toa_vm, te_vm, expand_vm, head_vm,
                   mag_out, dph_out, sat_out,
                   mag_buf, dph_buf, sat_buf, sems,
-                  *, rows: int, window: int, t_len: int, m_lanes: int):
-    """Grid (M, P_slots // TILE): channel c, pulse tile j.
+                  *, rows: int, window: int, t_len: int):
+    """Grid (P_flat // TILE,): one dense 128-pulse tile per step.
 
     The three streams stay separate 128-lane arrays: Mosaic gives
     exactly-128-lane HBM memrefs a flat layout where arbitrary-row DMA
     slices are legal; wider (e.g. lane-fused 384) arrays get a tiled
     layout that rejects non-8-aligned row counts."""
-    c = pl.program_id(0)
-    j = pl.program_id(1)
+    j = pl.program_id(0)
     n_rows_total = mag_hbm.shape[1]
     g = TILE * rows  # stacked scratch rows
 
-    # Skip tiles with no valid pulses at all (slots fill in order, so
-    # slot 0 invalid means the whole tile is empty; outputs for skipped
-    # tiles are garbage and masked out by `valid` downstream).
-    @pl.when(toa_sm[c, j * TILE] < t_len)
+    @pl.when(live_sm[j] > 0)
     def _tile():
-        # Issue the tile's DMAs (scalar toa reads drive the block offsets).
-        # Slots are filled in order, so slot s invalid (sentinel toa) implies
-        # all later slots invalid — gate each DMA on its slot's validity and
-        # skip stale-scratch slots via the all-false masks.
+        # Issue the tile's DMAs (scalar toa/chan reads drive the offsets);
+        # each slot's copies are gated on its own validity, and invalid
+        # slots' stale scratch is masked out by the all-false masks below.
         def slot_copies(s):
-            toa = toa_sm[c, j * TILE + s]
+            idx = j * TILE + s
+            c = chan_sm[idx]
+            toa = toa_sm[idx]
             r0 = jnp.clip(toa // LANES, 0, n_rows_total - rows)
             return [
                 pltpu.make_async_copy(
@@ -108,16 +114,25 @@ def _stats_kernel(toa_sm, te_sm, mag_hbm, dph_hbm, sat_hbm,
             ]
 
         for s in range(TILE):
-            @pl.when(toa_sm[c, j * TILE + s] < t_len)
+            @pl.when(toa_sm[j * TILE + s] < t_len)
             def _(s=s):
                 for cp in slot_copies(s):
                     cp.start()
 
-        # Per-pulse toa/te as (TILE, 1) f32 via lane-select from the VMEM block.
-        lane_sel = (jax.lax.broadcasted_iota(jnp.int32, (TILE, m_lanes), 1)
-                    == c).astype(jnp.float32)
-        toa_col = jnp.sum(toa_vm[...] * lane_sel, axis=1, keepdims=True)
-        te_col = jnp.sum(te_vm[...] * lane_sel, axis=1, keepdims=True)
+        # Per-pulse toa/te as (TILE, 1) f32 columns from the (8, TILE)
+        # VMEM blocks (tile row replicated 8x — TPU block sublane dims
+        # must be multiples of 8): broadcast down, keep the diagonal,
+        # row-sum (Mosaic has no (1, N) -> (N, 1) reshape/transpose).
+        diag = (jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1))
+        ones_col = jnp.ones((TILE, 1), jnp.float32)
+
+        def to_col(row_vm):  # (8, TILE) VMEM ref -> (TILE, 1)
+            b = ones_col * row_vm[0:1, :]
+            return jnp.sum(jnp.where(diag, b, 0.0), axis=1, keepdims=True)
+
+        toa_col = to_col(toa_vm)
+        te_col = to_col(te_vm)
 
         # Broadcast to row groups with the constant EXPAND matmul.
         expand = expand_vm[...]
@@ -140,7 +155,7 @@ def _stats_kernel(toa_sm, te_sm, mag_hbm, dph_hbm, sat_hbm,
         s_mask = in_any & (pos >= 1.0) & (pos < plen - 1.0)
 
         for s in range(TILE):
-            @pl.when(toa_sm[c, j * TILE + s] < t_len)
+            @pl.when(toa_sm[j * TILE + s] < t_len)
             def _(s=s):
                 for cp in slot_copies(s):
                     cp.wait()
@@ -159,8 +174,8 @@ def _stats_kernel(toa_sm, te_sm, mag_hbm, dph_hbm, sat_hbm,
 
             Log-tree: a Hillis-Steele inclusive prefix within the group
             followed by a doubling broadcast of the group-tail value —
-            2*ceil(log2(rows)) rolls instead of the 2*(rows-1) of the naive
-            chain (whose cost scales quadratically with the window)."""
+            2*ceil(log2(rows)) rolls instead of the 2*(rows-1) of the
+            naive chain."""
             out = col
             s = 1
             while s < rows:
@@ -268,8 +283,6 @@ def _stats_kernel(toa_sm, te_sm, mag_hbm, dph_hbm, sat_hbm,
 
         def to_row(col):  # (g, 1) row-space column -> (1, TILE)
             vals = _DOT(head, col)  # (TILE, 1) group-head extraction
-            diag = (jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
-                    == jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1))
             return _DOT(jnp.ones((1, TILE), jnp.float32),
                         jnp.where(diag, vals, 0.0))
 
@@ -282,18 +295,15 @@ def _stats_kernel(toa_sm, te_sm, mag_hbm, dph_hbm, sat_hbm,
                                      dph_buf[...], d_mask)
 
         # Mosaic dynamic stores need 8-aligned sublane offsets: outputs are
-        # 8-row strided (row c*8), written as an aligned (8, TILE) broadcast
-        # block; the wrapper slices [::8].
+        # (8, P) with every row identical; the wrapper takes row 0.
         off = pl.multiple_of(j * TILE, TILE)
-        row = pl.multiple_of(c * 8, 8)
         eight = jnp.ones((8, 1), jnp.float32)
-        mag_out[pl.ds(row, 8), pl.ds(off, TILE)] = eight * med_row(mag_mn)
-        dph_out[pl.ds(row, 8), pl.ds(off, TILE)] = eight * med_row(dph_mn)
+        mag_out[pl.ds(0, 8), pl.ds(off, TILE)] = eight * med_row(mag_mn)
+        dph_out[pl.ds(0, 8), pl.ds(off, TILE)] = eight * med_row(dph_mn)
         sat_col = gsum(jnp.where(s_mask, sat_buf[...], 0.0))
-        sat_out[pl.ds(row, 8), pl.ds(off, TILE)] = eight * to_row(
+        sat_out[pl.ds(0, 8), pl.ds(off, TILE)] = eight * to_row(
             jnp.where(sat_col > 0.5, 1.0, 0.0)
         )
-
 
 
 def stats_kernel_feasible(t_len: int, window: int) -> bool:
@@ -310,55 +320,58 @@ def stats_kernel_feasible(t_len: int, window: int) -> bool:
     return t_len < (1 << 24) and t_stored >= rows * LANES
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("window", "interpret"),
-)
-def pulse_stats(
-    mag_cm: jax.Array,   # (M, T) f32 channel-major magnitude
-    dph_cm: jax.Array,   # (M, T) f32 channel-major wrapped phase diff
-    sat_cm: jax.Array,   # (M, T) f32 channel-major saturation mask (0/1)
-    toa: jax.Array,      # (M, P_slots) i32 leading-edge indices (t_len = invalid)
-    te: jax.Array,       # (M, P_slots) i32 trailing-edge indices
+def _feasibility_error(t_len: int, window: int) -> str:
+    return (
+        f"pulse_stats cannot run on a {t_len}-sample block with "
+        f"window={window}: blocks must be < 2^24 samples (f32-exact "
+        f"index arithmetic) and at least (ceil(window/128)+1)*128 "
+        f"samples (whole-row DMA windows).  Use stats='xla', or stream "
+        f"long captures in blocks (dsp.streaming)."
+    )
+
+
+def _pulse_stats_flat(
+    mag_cm: jax.Array,
+    dph_cm: jax.Array,
+    sat_cm: jax.Array,
+    toa: jax.Array,   # (P,) i32 flat slot list (t_len = invalid)
+    te: jax.Array,    # (P,) i32
+    chan: jax.Array,  # (P,) i32 channel of each slot (0 for invalid slots)
     *,
     window: int,
-    interpret: bool = False,
+    interpret: bool,
+    t_len: int,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Per-pulse (median mag, median dph, saturated) of shape (M, P_slots).
+    """Dense-slot kernel driver shared by the 2-D and dense wrappers.
 
-    ``P_slots`` must be a multiple of 128.  Sample indices must stay below
-    2^24 per capture block (f32-exact integer broadcasting)."""
-    interpret = interpret or jax.devices()[0].platform == "cpu"
-    m, t_len = mag_cm.shape
-    p_slots = toa.shape[1]
-    assert p_slots % TILE == 0, p_slots
-    if not stats_kernel_feasible(t_len, window):
-        raise ValueError(
-            f"pulse_stats cannot run on a {t_len}-sample block with "
-            f"window={window}: blocks must be < 2^24 samples (f32-exact "
-            f"index arithmetic) and at least (ceil(window/128)+1)*128 "
-            f"samples (whole-row DMA windows).  Use stats='xla', or stream "
-            f"long captures in blocks (dsp.streaming)."
-        )
+    ``t_len`` is the true capture length; the stream arrays may carry
+    extra zero-padded columns beyond it (e.g. from the channel-major
+    transpose kernel's block grid) — masks and sentinels use ``t_len``."""
+    m, t_arr = mag_cm.shape
+    p_flat = toa.shape[0]
+    assert p_flat % TILE == 0, p_flat
+    assert t_len <= t_arr, (t_len, t_arr)
     # Row-pad the time axis to whole 128-lane rows (mask excludes the pad).
-    t_pad = (-t_len) % LANES
+    t_pad = (-t_arr) % LANES
     if t_pad:
         pad = ((0, 0), (0, t_pad))
         mag_cm = jnp.pad(mag_cm, pad)
         dph_cm = jnp.pad(dph_cm, pad)
         sat_cm = jnp.pad(sat_cm, pad)
-    t_stored = t_len + t_pad
+    t_stored = t_arr + t_pad
     rows = (window + LANES - 1) // LANES + 1
     view = (m, t_stored // LANES, LANES)
     g = TILE * rows
-    m_lanes = max(((m + LANES - 1) // LANES) * LANES, LANES)
+    n_tiles = p_flat // TILE
 
-    # Per-pulse params for vector-land: (p_slots, m_lanes) f32, lane-padded.
-    n_tiles = p_slots // TILE
-    toa_f = toa.astype(jnp.float32).T  # (p_slots, m)
-    te_f = te.astype(jnp.float32).T
-    toa_vm = jnp.pad(toa_f, ((0, 0), (0, m_lanes - m)))
-    te_vm = jnp.pad(te_f, ((0, 0), (0, m_lanes - m)))
+    live = jnp.max(
+        (toa < t_len).astype(jnp.int32).reshape(n_tiles, TILE), axis=1
+    )
+    # Tile rows replicated 8x: TPU blocks need 8-divisible sublane dims.
+    toa_v = jnp.repeat(toa.astype(jnp.float32).reshape(n_tiles, TILE),
+                       8, axis=0)
+    te_v = jnp.repeat(te.astype(jnp.float32).reshape(n_tiles, TILE),
+                      8, axis=0)
 
     expand = np.zeros((g, TILE), np.float32)
     expand[np.arange(g), np.arange(g) // rows] = 1.0
@@ -366,29 +379,29 @@ def pulse_stats(
     head[np.arange(TILE), np.arange(TILE) * rows] = 1.0
 
     kernel = functools.partial(
-        _stats_kernel, rows=rows, window=window, t_len=t_len, m_lanes=m_lanes,
+        _stats_kernel, rows=rows, window=window, t_len=t_len,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(m, n_tiles),
+        num_scalar_prefetch=4,
+        grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # mag stream
             pl.BlockSpec(memory_space=pl.ANY),  # dph stream
             pl.BlockSpec(memory_space=pl.ANY),  # sat stream
-            pl.BlockSpec((TILE, m_lanes), lambda c, j, *_: (j, 0),
+            pl.BlockSpec((8, TILE), lambda j, *_: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, m_lanes), lambda c, j, *_: (j, 0),
+            pl.BlockSpec((8, TILE), lambda j, *_: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # expand
             pl.BlockSpec(memory_space=pltpu.VMEM),  # head
         ],
         out_specs=[
-            # Whole-array blocks; 8-row strided (see kernel store comment).
-            pl.BlockSpec((m * 8, p_slots), lambda c, j, *_: (0, 0),
+            # Whole-array blocks, broadcast over 8 rows (see kernel store).
+            pl.BlockSpec((8, p_flat), lambda j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m * 8, p_slots), lambda c, j, *_: (0, 0),
+            pl.BlockSpec((8, p_flat), lambda j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m * 8, p_slots), lambda c, j, *_: (0, 0),
+            pl.BlockSpec((8, p_flat), lambda j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -402,12 +415,95 @@ def pulse_stats(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((m * 8, p_slots), jnp.float32),
-            jax.ShapeDtypeStruct((m * 8, p_slots), jnp.float32),
-            jax.ShapeDtypeStruct((m * 8, p_slots), jnp.float32),
+            jax.ShapeDtypeStruct((8, p_flat), jnp.float32),
+            jax.ShapeDtypeStruct((8, p_flat), jnp.float32),
+            jax.ShapeDtypeStruct((8, p_flat), jnp.float32),
         ],
+        # The merged dual-median descent carries two (g, LANES) live masks
+        # plus both key sets; at window=1024 (rows=9, g=1152) that tops the
+        # default 16 MB scoped-VMEM budget.  v5e has 128 MB VMEM — give the
+        # kernel real headroom.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(toa, te,
+    )(live, toa, te, chan,
       mag_cm.reshape(view), dph_cm.reshape(view), sat_cm.reshape(view),
-      toa_vm, te_vm, jnp.asarray(expand), jnp.asarray(head))
-    return mag_med[::8], dph_med[::8], sat_any[::8]
+      toa_v, te_v, jnp.asarray(expand), jnp.asarray(head))
+    return mag_med[0], dph_med[0], sat_any[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window", "interpret", "t_len"),
+)
+def pulse_stats(
+    mag_cm: jax.Array,   # (M, T) f32 channel-major magnitude
+    dph_cm: jax.Array,   # (M, T) f32 channel-major wrapped phase diff
+    sat_cm: jax.Array,   # (M, T) f32 channel-major saturation mask (0/1)
+    toa: jax.Array,      # (M, P_slots) i32 leading-edge indices (t_len = invalid)
+    te: jax.Array,       # (M, P_slots) i32 trailing-edge indices
+    *,
+    window: int,
+    interpret: bool = False,
+    t_len: int | None = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-pulse (median mag, median dph, saturated) of shape (M, P_slots).
+
+    ``P_slots`` must be a multiple of 128.  Sample indices must stay below
+    2^24 per capture block (f32-exact integer broadcasting).  Valid slots
+    may appear anywhere (no ordering contract); wholly-empty 128-slot tiles
+    are skipped, so callers that can compact pulses to the front should
+    (see :func:`pulse_stats_dense`).  ``t_len`` overrides the capture
+    length when the streams carry zero-padded columns beyond it."""
+    interpret = interpret or jax.devices()[0].platform == "cpu"
+    # Channel count comes from the slot grid: the streams may carry extra
+    # zero-padded rows (the transpose kernel pads lanes to 128).
+    m = toa.shape[0]
+    t_len = mag_cm.shape[1] if t_len is None else t_len
+    p_slots = toa.shape[1]
+    assert p_slots % TILE == 0, p_slots
+    if not stats_kernel_feasible(t_len, window):
+        raise ValueError(_feasibility_error(t_len, window))
+    chan = jnp.broadcast_to(
+        jnp.arange(m, dtype=jnp.int32)[:, None], (m, p_slots)
+    )
+    mm, dd, ss = _pulse_stats_flat(
+        mag_cm, dph_cm, sat_cm,
+        toa.reshape(-1), te.reshape(-1), chan.reshape(-1),
+        window=window, interpret=interpret, t_len=t_len,
+    )
+    return (mm.reshape(m, p_slots), dd.reshape(m, p_slots),
+            ss.reshape(m, p_slots))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window", "interpret", "t_len"),
+)
+def pulse_stats_dense(
+    mag_cm: jax.Array,   # (M, T) f32 channel-major magnitude
+    dph_cm: jax.Array,   # (M, T) f32 channel-major wrapped phase diff
+    sat_cm: jax.Array,   # (M, T) f32 channel-major saturation mask (0/1)
+    toa: jax.Array,      # (P,) i32 flat leading edges (t_len = invalid)
+    te: jax.Array,       # (P,) i32 flat trailing edges
+    chan: jax.Array,     # (P,) i32 channel id per slot (0 for invalid)
+    *,
+    window: int,
+    interpret: bool = False,
+    t_len: int | None = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Dense-list variant of :func:`pulse_stats`: one flat slot list
+    mixing all channels, shape (P,) outputs.
+
+    Kernel work scales with *occupied 128-slot tiles*: callers compact
+    their valid pulses to the front (rank = cumsum of the selection mask)
+    so a sparse capture over many channels costs ceil(pulses/128) tiles
+    instead of ``M * ceil(max_pulses/128)``."""
+    interpret = interpret or jax.devices()[0].platform == "cpu"
+    t_len = mag_cm.shape[1] if t_len is None else t_len
+    assert toa.shape[0] % TILE == 0, toa.shape
+    if not stats_kernel_feasible(t_len, window):
+        raise ValueError(_feasibility_error(t_len, window))
+    return _pulse_stats_flat(
+        mag_cm, dph_cm, sat_cm, toa, te, chan,
+        window=window, interpret=interpret, t_len=t_len,
+    )
