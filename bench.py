@@ -54,9 +54,14 @@ def _time_fn(fn, x, iters: int, warmup: int = 1) -> float:
     for _ in range(warmup):
         out = fn(x)
     _sync(out)
-    t_fence0 = time.perf_counter()
-    _sync(out)  # measure the fetch latency itself (tunnel round-trip)
-    fence = time.perf_counter() - t_fence0
+    # The fence (tunnel round-trip, ~0.4 s) carries tens of ms of jitter;
+    # take the min of 3 samples so it doesn't swamp the per-step time.
+    fences = []
+    for _ in range(3):
+        t_fence0 = time.perf_counter()
+        _sync(out)
+        fences.append(time.perf_counter() - t_fence0)
+    fence = min(fences)
 
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -71,7 +76,7 @@ def main() -> None:
     ap.add_argument("--bands", type=int, default=64)
     ap.add_argument("--frames", type=int, default=262144,
                     help="channelizer frames per step (samples = frames*bands)")
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--stages", action="store_true",
                     help="also time channelize / noise-floor / pdw separately")
     ap.add_argument("--planes", action="store_true",

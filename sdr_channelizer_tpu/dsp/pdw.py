@@ -462,26 +462,28 @@ def _extract_channelized_pallas_stats(
     if medians.use_sort_free():
         # Single-pass Pallas latch kernel (block-carried state) instead of
         # XLA's log-depth associative scan — see ops/pallas/latch_kernel.py.
+        # It emits channel-major cumsums so the rank search can be the
+        # dense two-level formulation (ops/rank_find.py) instead of
+        # jnp.searchsorted's scalar-gather binary search (~13 ms of the
+        # 37 ms step at 16.7M samples, tools/tpu_bisect.py).
         from sdr_channelizer_tpu.ops.pallas.latch_kernel import (
             pallas_latch_cumsums,
         )
+        from sdr_channelizer_tpu.ops.rank_find import find_ranks_cm
 
-        cl, ct = pallas_latch_cumsums(mag, lead_thresh, trail_thresh, entry)
-        ranks_f = ranks.astype(jnp.float32)
-
-        def find_cum(cum_col, skip):
-            return jnp.searchsorted(
-                cum_col, ranks_f + skip, side="left"
-            ).astype(jnp.int32)
-
-        zeros_f = jnp.zeros((m,), jnp.float32)
-        toa_idx = jax.vmap(find_cum, in_axes=(1, 0))(cl, zeros_f)
-        te_idx = jax.vmap(find_cum, in_axes=(1, 0))(
-            ct, entry.astype(jnp.float32)
+        cl_cm, ct_cm = pallas_latch_cumsums(
+            mag, lead_thresh, trail_thresh, entry
+        )
+        ranks_2d = jnp.broadcast_to(
+            ranks.astype(jnp.float32)[None, :], (m, p_slots)
+        )
+        toa_idx = find_ranks_cm(cl_cm[:m], ranks_2d, t_len)
+        te_idx = find_ranks_cm(
+            ct_cm[:m], ranks_2d + entry.astype(jnp.float32)[:, None], t_len
         )
         # Leads within the owned region (ranks past n_own point into the
         # halo; downstream stats for them are garbage masked by `matched`).
-        n_own = cl[own - 1].astype(jnp.int32)
+        n_own = cl_cm[:m, own - 1].astype(jnp.int32)
     else:
         ge_lead = mag >= lead_thresh[None, :]
         le_trail = mag <= trail_thresh[None, :]

@@ -12,8 +12,13 @@ scratch is a legal loop carry).
 
 Outputs are the **inclusive cumulative counts** of leading and trailing
 edges per channel — exactly ``cumsum(lead_edge)`` / ``cumsum(trail_edge)``
-of the XLA formulation; the caller finds each rank's edge position with a
-binary search (``jnp.searchsorted``), which is cheap.
+of the XLA formulation — emitted **channel-major** ``(128k, T_pad)``: the
+caller finds each rank's edge position with the dense two-level search
+(``ops.rank_find``), whose block-end compares and partial-block slices need
+contiguous per-channel rows.  The layout flip rides the same MXU
+identity-matmul transpose as ``ops/pallas/transpose_kernel.py`` (exact:
+f32 HIGHEST-precision identity matmuls are lossless), so no separate XLA
+transpose pass touches the (T, M) arrays.
 
 Arithmetic notes: transfer functions and masks are carried as f32 0/1
 (Mosaic cannot carry i1 vectors through loops), and counts stay exact in
@@ -31,9 +36,19 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+LANES = 128
 
-def _latch_kernel(mag_ref, lead_ref, trail_ref, entry_ref, cl_ref, ct_ref,
-                  carry, *, t_blk: int, log_steps: int):
+_TDOT = functools.partial(
+    jax.lax.dot_general,
+    dimension_numbers=(((0,), (0,)), ((), ())),
+    preferred_element_type=jnp.float32,
+    precision=jax.lax.Precision.HIGHEST,
+)
+
+
+def _latch_kernel(mag_ref, lead_ref, trail_ref, entry_ref, eye_ref,
+                  cl_ref, ct_ref, carry,
+                  *, t_blk: int, log_steps: int):
     """Grid (T // t_blk,), sequential.  carry rows: 0 = entry state,
     1 = lead-count base, 2 = trail-count base (per channel)."""
     i = pl.program_id(0)
@@ -76,11 +91,24 @@ def _latch_kernel(mag_ref, lead_ref, trail_ref, entry_ref, cl_ref, ct_ref,
         lead = lead + keep * pltpu.roll(lead, s, axis=0)
         trail = trail + keep * pltpu.roll(trail, s, axis=0)
 
-    cl_ref[...] = carry[1:2, :] + lead
-    ct_ref[...] = carry[2:3, :] + trail
+    cl = carry[1:2, :] + lead
+    ct = carry[2:3, :] + trail
+    eye = eye_ref[...]
+
+    def flip(blk_tm, out_ref):
+        # (t_blk, m) -> (m, t_blk): per-128-row-tile MXU transpose
+        # (transpose_kernel.py's trick; m is lane-padded to 128 here).
+        tiles = [
+            _TDOT(blk_tm[k * LANES:(k + 1) * LANES, :], eye)
+            for k in range(t_blk // LANES)
+        ]
+        out_ref[...] = jnp.concatenate(tiles, axis=1)
+
+    flip(cl, cl_ref)
+    flip(ct, ct_ref)
     carry[0:1, :] = state[t_blk - 1 : t_blk, :]
-    carry[1:2, :] = carry[1:2, :] + lead[t_blk - 1 : t_blk, :]
-    carry[2:3, :] = carry[2:3, :] + trail[t_blk - 1 : t_blk, :]
+    carry[1:2, :] = cl[t_blk - 1 : t_blk, :]
+    carry[2:3, :] = ct[t_blk - 1 : t_blk, :]
 
 
 @functools.partial(jax.jit, static_argnames=("t_blk", "interpret"))
@@ -88,23 +116,27 @@ def _latch_call(mag, lead_row, trail_row, entry_row, *, t_blk: int,
                 interpret: bool):
     t_len, m = mag.shape
     assert t_len % t_blk == 0
+    assert m % LANES == 0, m
     log_steps = int(np.log2(t_blk))
     assert (1 << log_steps) == t_blk
     kernel = functools.partial(_latch_kernel, t_blk=t_blk, log_steps=log_steps)
     blk = pl.BlockSpec((t_blk, m), lambda i: (i, 0), memory_space=pltpu.VMEM)
     row = pl.BlockSpec((8, m), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((m, t_blk), lambda i: (0, i), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(t_len // t_blk,),
-        in_specs=[blk, row, row, row],
-        out_specs=[blk, blk],
+        in_specs=[blk, row, row, row,
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],  # identity
+        out_specs=[out, out],
         out_shape=[
-            jax.ShapeDtypeStruct((t_len, m), jnp.float32),
-            jax.ShapeDtypeStruct((t_len, m), jnp.float32),
+            jax.ShapeDtypeStruct((m, t_len), jnp.float32),
+            jax.ShapeDtypeStruct((m, t_len), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((8, m), jnp.float32)],
         interpret=interpret,
-    )(mag, lead_row, trail_row, entry_row)
+    )(mag, lead_row, trail_row, entry_row,
+      jnp.asarray(np.eye(LANES, dtype=np.float32)))
 
 
 def pallas_latch_cumsums(
@@ -115,32 +147,41 @@ def pallas_latch_cumsums(
     t_blk: int = 2048,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Inclusive cumulative lead/trail edge counts of the hysteresis latch.
+    """Channel-major inclusive cumulative lead/trail edge counts.
 
     ``mag``: (T, M) float32 time-major detection magnitudes.
     ``lead_thresh`` / ``trail_thresh``: (M,) per-channel absolute thresholds
     (``noise_floor * 10^(dB/10)``).  ``entry_active``: optional (M,) bool
     latch state entering the block (default inactive — the whole-capture
-    case).  Returns two (T, M) float32 arrays equal to
-    ``cumsum(lead_edge, axis=0)`` / ``cumsum(trail_edge, axis=0)`` of the
-    XLA formulation (T must stay below 2^24 for the counts to be f32-exact).
+    case).  Returns two ``(128k, T_pad)`` float32 arrays whose first M rows
+    and T columns equal ``cumsum(lead_edge, axis=0).T`` /
+    ``cumsum(trail_edge, axis=0).T`` of the XLA formulation (T must stay
+    below 2^24 for the counts to be f32-exact).
+
+    Padded tail semantics (columns in [T, T_pad)): the pad magnitude is
+    -inf, so no lead edges fire there and a pulse open at T closes with one
+    trailing edge at column T exactly — ``ops.rank_find.find_ranks_cm``
+    clamped to ``t_len`` therefore returns the same sentinel positions as
+    a search over the unpadded arrays.  Pad channels (rows in [M, 128k))
+    see a +inf lead threshold and count nothing.
     """
     interpret = interpret or jax.devices()[0].platform == "cpu"
     t_len, m = mag.shape
-    pad = (-t_len) % t_blk
-    if pad:
-        # -inf magnitude: below every trail threshold -> latch resets, no
-        # lead edges; one trailing edge may fire in the pad if a pulse was
-        # open, which the caller never reads (rows beyond t_len).
-        mag = jnp.pad(mag, ((0, pad), (0, 0)), constant_values=-np.inf)
-    lead_row = jnp.broadcast_to(lead_thresh[None, :], (8, m))
-    trail_row = jnp.broadcast_to(trail_thresh[None, :], (8, m))
+    m_pad = max(((m + LANES - 1) // LANES) * LANES, LANES)
+    pad_t = (-t_len) % t_blk
+    if pad_t or m_pad != m:
+        mag = jnp.pad(mag, ((0, pad_t), (0, m_pad - m)),
+                      constant_values=-np.inf)
+
+    def prep_row(v, fill):
+        row = jnp.full((8, m_pad), fill, jnp.float32)
+        return row.at[:, :m].set(v.astype(jnp.float32)[None, :])
+
+    lead_row = prep_row(lead_thresh, np.inf)
+    trail_row = prep_row(trail_thresh, np.inf)
     if entry_active is None:
-        entry_row = jnp.zeros((8, m), jnp.float32)
+        entry_row = jnp.zeros((8, m_pad), jnp.float32)
     else:
-        entry_row = jnp.broadcast_to(
-            entry_active.astype(jnp.float32)[None, :], (8, m)
-        )
-    cl, ct = _latch_call(mag, lead_row, trail_row, entry_row, t_blk=t_blk,
-                         interpret=interpret)
-    return cl[:t_len], ct[:t_len]
+        entry_row = prep_row(entry_active, 0.0)
+    return _latch_call(mag, lead_row, trail_row, entry_row, t_blk=t_blk,
+                       interpret=interpret)

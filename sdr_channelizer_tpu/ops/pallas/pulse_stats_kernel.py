@@ -13,14 +13,16 @@ the "obvious" versions did not):
 * streams are channel-major ``(M, T/128, 128)`` so any pulse window is
   covered by a lane-aligned ``(rows, 128)`` block; the *mask*, not
   extraction, delimits the pulse (absolute sample index rebuilt from iota);
-* pulses form one flat **dense slot list** with a per-slot channel id and
-  a 1-D tile grid — one grid step = one 128-pulse tile, from any mix of
-  channels.  The kernel's cost scales with *occupied tiles*, so callers
-  compact their pulses to the front (``extract_pdws_channelized_streams``
-  packs all channels' pulses together per window tier) and sparse captures
-  pay for the pulses they have, not for ``M * max_pulses`` capacity.
-  Per-tile ``live`` flags (prefetched scalars) skip empty tiles without
-  any ordering contract on the slots;
+* pulses form one flat **dense slot list** with a per-slot channel id,
+  walked by an in-kernel ``fori_loop`` — one iteration = one 128-pulse
+  tile, from any mix of channels.  The kernel's cost scales with *occupied
+  tiles*: per-tile ``live`` flags (prefetched scalars) reduce an empty
+  tile to a scalar load + branch (a gridded one-step-per-tile formulation
+  paid ~40 us of block-DMA/sequencing overhead per DEAD tile — the
+  dominant cost at ``M * max_pulses`` slot capacity).  Callers compact
+  their pulses to the front (``extract_pdws_channelized_streams`` packs
+  all channels' pulses together per window tier) so sparse captures pay
+  for the pulses they have, with no ordering contract on the slots;
 * the tile's windows are DMA'd into a 2-D ``(TILE*rows, 128)`` scratch
   (3-D scratch indexing and scalar->vector ``stack`` both fail to lower);
 * per-pulse constants (toa/te) reach vector-land through (1, TILE) VMEM
@@ -82,19 +84,27 @@ def _stats_kernel(live_sm, toa_sm, te_sm, chan_sm,
                   toa_vm, te_vm, expand_vm, head_vm,
                   mag_out, dph_out, sat_out,
                   mag_buf, dph_buf, sat_buf, sems,
-                  *, rows: int, window: int, t_len: int):
-    """Grid (P_flat // TILE,): one dense 128-pulse tile per step.
+                  *, n_tiles: int, rows: int, window: int, t_len: int):
+    """One invocation, ``fori_loop`` over the 128-pulse tiles.
+
+    A tile with no valid slots costs one scalar load + branch — NOT a grid
+    step (an earlier gridded formulation paid ~40 us of block-DMA/sequencing
+    overhead per dead tile, which dominated at M * max_pulses slot capacity
+    with a handful of live tiles).
 
     The three streams stay separate 128-lane arrays: Mosaic gives
     exactly-128-lane HBM memrefs a flat layout where arbitrary-row DMA
     slices are legal; wider (e.g. lane-fused 384) arrays get a tiled
     layout that rejects non-8-aligned row counts."""
-    j = pl.program_id(0)
     n_rows_total = mag_hbm.shape[1]
     g = TILE * rows  # stacked scratch rows
 
-    @pl.when(live_sm[j] > 0)
-    def _tile():
+    # Dead tiles leave zeros (downstream masks by slot validity either way).
+    mag_out[...] = jnp.zeros_like(mag_out)
+    dph_out[...] = jnp.zeros_like(dph_out)
+    sat_out[...] = jnp.zeros_like(sat_out)
+
+    def _tile_body(j):
         # Issue the tile's DMAs (scalar toa/chan reads drive the offsets);
         # each slot's copies are gated on its own validity, and invalid
         # slots' stale scratch is masked out by the all-false masks below.
@@ -119,16 +129,18 @@ def _stats_kernel(live_sm, toa_sm, te_sm, chan_sm,
                 for cp in slot_copies(s):
                     cp.start()
 
-        # Per-pulse toa/te as (TILE, 1) f32 columns from the (8, TILE)
-        # VMEM blocks (tile row replicated 8x — TPU block sublane dims
-        # must be multiples of 8): broadcast down, keep the diagonal,
-        # row-sum (Mosaic has no (1, N) -> (N, 1) reshape/transpose).
+        # Per-pulse toa/te as (TILE, 1) f32 columns from the (8, P) VMEM
+        # arrays (row replicated 8x — TPU block sublane dims must be
+        # multiples of 8; the lane slice is TILE-aligned by construction):
+        # broadcast down, keep the diagonal, row-sum (Mosaic has no
+        # (1, N) -> (N, 1) reshape/transpose).
+        off = pl.multiple_of(j * TILE, TILE)
         diag = (jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
                 == jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1))
         ones_col = jnp.ones((TILE, 1), jnp.float32)
 
-        def to_col(row_vm):  # (8, TILE) VMEM ref -> (TILE, 1)
-            b = ones_col * row_vm[0:1, :]
+        def to_col(row_vm):  # (8, P) VMEM ref -> this tile's (TILE, 1)
+            b = ones_col * row_vm[0:1, pl.ds(off, TILE)]
             return jnp.sum(jnp.where(diag, b, 0.0), axis=1, keepdims=True)
 
         toa_col = to_col(toa_vm)
@@ -296,7 +308,6 @@ def _stats_kernel(live_sm, toa_sm, te_sm, chan_sm,
 
         # Mosaic dynamic stores need 8-aligned sublane offsets: outputs are
         # (8, P) with every row identical; the wrapper takes row 0.
-        off = pl.multiple_of(j * TILE, TILE)
         eight = jnp.ones((8, 1), jnp.float32)
         mag_out[pl.ds(0, 8), pl.ds(off, TILE)] = eight * med_row(mag_mn)
         dph_out[pl.ds(0, 8), pl.ds(off, TILE)] = eight * med_row(dph_mn)
@@ -304,6 +315,14 @@ def _stats_kernel(live_sm, toa_sm, te_sm, chan_sm,
         sat_out[pl.ds(0, 8), pl.ds(off, TILE)] = eight * to_row(
             jnp.where(sat_col > 0.5, 1.0, 0.0)
         )
+
+    def _loop(j, carry):
+        @pl.when(live_sm[j] > 0)
+        def _():
+            _tile_body(j)
+        return carry
+
+    jax.lax.fori_loop(0, n_tiles, _loop, jnp.int32(0))
 
 
 def stats_kernel_feasible(t_len: int, window: int) -> bool:
@@ -367,11 +386,9 @@ def _pulse_stats_flat(
     live = jnp.max(
         (toa < t_len).astype(jnp.int32).reshape(n_tiles, TILE), axis=1
     )
-    # Tile rows replicated 8x: TPU blocks need 8-divisible sublane dims.
-    toa_v = jnp.repeat(toa.astype(jnp.float32).reshape(n_tiles, TILE),
-                       8, axis=0)
-    te_v = jnp.repeat(te.astype(jnp.float32).reshape(n_tiles, TILE),
-                      8, axis=0)
+    # Row replicated 8x: TPU VMEM arrays need 8-divisible sublane dims.
+    toa_v = jnp.broadcast_to(toa.astype(jnp.float32)[None, :], (8, p_flat))
+    te_v = jnp.broadcast_to(te.astype(jnp.float32)[None, :], (8, p_flat))
 
     expand = np.zeros((g, TILE), np.float32)
     expand[np.arange(g), np.arange(g) // rows] = 1.0
@@ -379,30 +396,24 @@ def _pulse_stats_flat(
     head[np.arange(TILE), np.arange(TILE) * rows] = 1.0
 
     kernel = functools.partial(
-        _stats_kernel, rows=rows, window=window, t_len=t_len,
+        _stats_kernel, n_tiles=n_tiles, rows=rows, window=window, t_len=t_len,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(n_tiles,),
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # mag stream
-            pl.BlockSpec(memory_space=pl.ANY),  # dph stream
-            pl.BlockSpec(memory_space=pl.ANY),  # sat stream
-            pl.BlockSpec((8, TILE), lambda j, *_: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE), lambda j, *_: (j, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),      # mag stream
+            pl.BlockSpec(memory_space=pl.ANY),      # dph stream
+            pl.BlockSpec(memory_space=pl.ANY),      # sat stream
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # toa (8, P)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # te (8, P)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # expand
             pl.BlockSpec(memory_space=pltpu.VMEM),  # head
         ],
         out_specs=[
-            # Whole-array blocks, broadcast over 8 rows (see kernel store).
-            pl.BlockSpec((8, p_flat), lambda j, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, p_flat), lambda j, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, p_flat), lambda j, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((g, LANES), jnp.float32),

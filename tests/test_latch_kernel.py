@@ -40,9 +40,14 @@ def test_latch_cumsums_match_xla(seed, t_len, m):
         jnp.asarray(mag), jnp.asarray(lead), jnp.asarray(trail),
         jnp.asarray(entry), t_blk=1024, interpret=True,
     )
+    # Channel-major (128-lane-padded, block-padded) outputs: the real rows /
+    # columns must match the XLA cumsums; pad channels count nothing.
     ref_cl, ref_ct = _xla_cumsums(mag, lead, trail, entry)
-    np.testing.assert_array_equal(np.asarray(cl).astype(np.int64), ref_cl)
-    np.testing.assert_array_equal(np.asarray(ct).astype(np.int64), ref_ct)
+    np.testing.assert_array_equal(
+        np.asarray(cl)[:m, :t_len].astype(np.int64).T, ref_cl)
+    np.testing.assert_array_equal(
+        np.asarray(ct)[:m, :t_len].astype(np.int64).T, ref_ct)
+    assert not np.asarray(cl)[m:].any()
 
 
 def test_latch_cumsums_default_entry_and_padding():
@@ -58,9 +63,20 @@ def test_latch_cumsums_default_entry_and_padding():
         t_blk=2048, interpret=True,
     )
     ref_cl, ref_ct = _xla_cumsums(mag, lead, trail, np.zeros(m, bool))
-    np.testing.assert_array_equal(np.asarray(cl).astype(np.int64), ref_cl)
-    np.testing.assert_array_equal(np.asarray(ct).astype(np.int64), ref_ct)
-    assert cl.shape == (t_len, m)
+    np.testing.assert_array_equal(
+        np.asarray(cl)[:m, :t_len].astype(np.int64).T, ref_cl)
+    np.testing.assert_array_equal(
+        np.asarray(ct)[:m, :t_len].astype(np.int64).T, ref_ct)
+    assert cl.shape[0] == 128 and cl.shape[1] % 2048 == 0
+    # Pad-tail contract (rank_find relies on it): no lead edges in the pad,
+    # and any pulse open at t_len closes with ONE trailing edge at t_len.
+    cl_np, ct_np = np.asarray(cl), np.asarray(ct)
+    np.testing.assert_array_equal(
+        cl_np[:m, t_len:],
+        np.broadcast_to(cl_np[:m, t_len - 1:t_len], cl_np[:m, t_len:].shape))
+    open_at_end = ref_cl[-1] - ref_ct[-1]
+    np.testing.assert_array_equal(
+        ct_np[:m, t_len], ct_np[:m, t_len - 1] + open_at_end)
 
 
 def test_sort_free_extraction_parity(monkeypatch):

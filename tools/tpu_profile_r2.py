@@ -231,8 +231,11 @@ def xla_cums(mg, v):
 
 
 def latch_errs(mg, v, cl, ct):
+    # Latch kernel outputs are channel-major (128-lane padded, T-padded).
     cx, tx = xla_cums(mg, v)
-    return jnp.max(jnp.abs(cl - cx)), jnp.max(jnp.abs(ct - tx))
+    m_, t_ = mg.shape[1], mg.shape[0]
+    return (jnp.max(jnp.abs(cl[:m_, :t_].T - cx)),
+            jnp.max(jnp.abs(ct[:m_, :t_].T - tx)))
 
 
 err_l, err_t = jax.jit(latch_errs)(mag, nf, cl_d, ct_d)
