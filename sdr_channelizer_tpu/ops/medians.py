@@ -72,8 +72,16 @@ def _masked_median_select(x: jax.Array, mask: jax.Array, axis: int) -> jax.Array
     n = jnp.sum(mask, axis=axis).astype(jnp.int32)
     k_lo = jnp.maximum((n - 1) // 2, 0)
     k_hi = jnp.maximum(n // 2, 0)
-    lo = _u32_to_f32(_kth_smallest_key(keys, mask, k_lo, axis))
-    hi = _u32_to_f32(_kth_smallest_key(keys, mask, k_hi, axis))
+    pref = _kth_smallest_key(keys, mask, k_lo, axis)
+    lo = _u32_to_f32(pref)
+    # The k_hi-th order statistic (n even) without a second 32-pass
+    # descent: it is `lo` again when duplicates of lo cover rank k_hi,
+    # else the smallest masked value strictly above it — one counting
+    # pass + one masked min (the pulse-stats kernel's `finish` trick).
+    pref_e = jnp.expand_dims(pref, axis)
+    cnt_le = jnp.sum(mask & (keys <= pref_e), axis=axis).astype(jnp.int32)
+    nxt = jnp.min(jnp.where(mask & (keys > pref_e), x, jnp.inf), axis=axis)
+    hi = jnp.where(cnt_le > k_hi, lo, nxt)
     med = 0.5 * (lo + hi)
     return jnp.where(n > 0, med, jnp.nan)
 
