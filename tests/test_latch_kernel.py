@@ -90,10 +90,10 @@ def test_sort_free_extraction_parity(monkeypatch):
     from sdr_channelizer_tpu.signal.synth import PulseTrainSpec, pulse_train
 
     specs = [
-        PulseTrainSpec(sample_rate_sps=8e6, duration_sec=4e-3,
+        PulseTrainSpec(sample_rate_sps=8e6, duration_sec=2e-3,
                        frequency_hz=2.3e6, pulse_width_sec=100e-6,
                        pri_sec=500e-6, start_index=1234, noise_std=3e-3),
-        PulseTrainSpec(sample_rate_sps=8e6, duration_sec=4e-3,
+        PulseTrainSpec(sample_rate_sps=8e6, duration_sec=2e-3,
                        frequency_hz=-1.1e6, pulse_width_sec=700e-6,
                        pri_sec=1500e-6, start_index=100),
     ]

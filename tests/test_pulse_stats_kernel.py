@@ -107,12 +107,12 @@ def test_wideband_extraction_pallas_stats_parity():
     from sdr_channelizer_tpu.dsp import pdw as pdwmod
 
     rng = np.random.default_rng(3)
-    n = 65536
+    n = 32768
     t = np.arange(n)
     iq = (1e-3 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
           ).astype(np.complex64)
     tone = np.exp(2j * np.pi * 0.083 * t).astype(np.complex64)
-    for s in range(500, n - 900, 4000):
+    for s in range(500, n - 900, 2500):
         iq[s:s + 700] = tone[s:s + 700]
     cfg = PdwConfig.wideband(max_pulses=64, max_pulse_samples=1024)
     ref = pdwmod.extract_pdws(jnp.asarray(iq), cfg, stats="xla")
