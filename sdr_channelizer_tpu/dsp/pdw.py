@@ -533,17 +533,22 @@ def _extract_channelized_pallas_stats(
 
     sw = _SHORT_WINDOW
     if w > sw and stats_kernel_feasible(t_len, sw):
-        # Two-tier windows: the kernel's per-pulse DMA + selection cost
-        # scales with ceil(window/128)+1 rows, but real pulses are usually
-        # far shorter than the max_pulse_samples bound — route pulses with
-        # plen <= 256 through a 3-row kernel and only the rare long ones
-        # through the full-window kernel (identical masked medians either
-        # way; the mask, not the window, delimits the pulse).  Each tier is
-        # compacted into ONE dense cross-channel slot list: the kernel's
-        # cost scales with occupied 128-pulse tiles, so all channels' rare
-        # long pulses share a handful of tiles instead of fragmenting one
-        # tile per channel, and sparse captures pay per pulse, not per
-        # M * max_pulses capacity.
+        # Three-tier stats: the kernel's per-pulse cost is dominated by its
+        # 3 window DMAs per slot, so pulses whose masked medians have a
+        # closed form skip it entirely, and the rest split by window size.
+        #   tiny  (plen <= 2): med mag = mean of the 1-2 samples, med dph =
+        #       the single first diff (or NaN), saturation mask empty —
+        #       three 1-element gathers, NO kernel slots.  Saturating
+        #       captures (noise transients at every band's slot cap) would
+        #       otherwise pay M*max_pulses window DMAs (create_pdws.m:70-100
+        #       semantics preserved bit-for-bit: mean-of-two-middles over a
+        #       <=2-element window IS (a+b)/2, and f32 + commutes).
+        #   short (plen <= 256): 3-row kernel windows.
+        #   long  (the rest): full max_pulse_samples kernel windows.
+        # Each kernel tier is compacted into ONE dense cross-channel slot
+        # list: cost scales with occupied pulse tiles, so all channels'
+        # rare long pulses share a handful of tiles and sparse captures pay
+        # per pulse, not per M * max_pulses capacity.
         n_flat = m * p_slots
         flat_toa = toa_idx.reshape(-1)
         flat_te = te_idx.reshape(-1)
@@ -552,8 +557,23 @@ def _extract_channelized_pallas_stats(
         ).reshape(-1)
         plen = flat_te - flat_toa + 1
         valid_slot = flat_toa < t_len
-        is_short = valid_slot & (flat_te < t_len) & (plen <= sw)
-        is_long = valid_slot & ~is_short
+        closed = valid_slot & (flat_te < t_len)
+        is_tiny = closed & (plen <= 2)
+        is_short = closed & ~is_tiny & (plen <= sw)
+        is_long = valid_slot & ~is_tiny & ~is_short
+
+        t_arr = mag_cm.shape[1]
+        safe_toa = jnp.minimum(flat_toa, t_len - 1)
+        safe_te = jnp.minimum(flat_te, t_len - 1)
+        mag_flat = mag_cm.reshape(-1)
+        dph_flat = dph_cm.reshape(-1)
+        mag_a = mag_flat[chan_f * t_arr + safe_toa]
+        mag_b = mag_flat[chan_f * t_arr + safe_te]
+        tiny_mag = jnp.where(plen >= 2, 0.5 * (mag_a + mag_b), mag_a)
+        tiny_dph = jnp.where(plen >= 2, dph_flat[chan_f * t_arr + safe_toa],
+                             jnp.float32(np.nan))
+        tiny_mag = tiny_mag.reshape(m, p_slots)
+        tiny_dph = tiny_dph.reshape(m, p_slots)
 
         def part(sel):
             rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
@@ -571,15 +591,19 @@ def _extract_channelized_pallas_stats(
                                    window=sw, t_len=t_len)
         outs_l = pulse_stats_dense(mag_cm, dph_cm, sat_cm, toa_l, te_l, ch_l,
                                    window=w, t_len=t_len)
+        is_tiny_2d = is_tiny.reshape(m, p_slots)
         is_short_2d = is_short.reshape(m, p_slots)
 
-        def mergev(vs, vl):
-            return jnp.where(is_short_2d,
+        def mergev(vs, vl, tiny):
+            kern = jnp.where(is_short_2d,
                              vs[rank_s].reshape(m, p_slots),
                              vl[rank_l].reshape(m, p_slots))
+            return jnp.where(is_tiny_2d, tiny, kern)
 
+        zeros2d = jnp.zeros((m, p_slots), jnp.float32)
         med_mag, med_dph, sat_any = (
-            mergev(vs, vl) for vs, vl in zip(outs_s, outs_l)
+            mergev(vs, vl, tiny) for (vs, vl), tiny in zip(
+                zip(outs_s, outs_l), (tiny_mag, tiny_dph, zeros2d))
         )
     else:
         med_mag, med_dph, sat_any = pulse_stats(

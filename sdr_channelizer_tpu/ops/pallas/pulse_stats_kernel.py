@@ -58,7 +58,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-TILE = 128  # pulses per grid step (= output lane alignment)
+# Pulses per tile-loop step.  256 halves the number of serial radix
+# descents for dense captures (each descent's latency-bound roll/count
+# chain amortizes over twice the slots); flat slot lists shorter than a
+# tile are padded by the wrappers.
+TILE = 256
 
 _DOT = functools.partial(
     jnp.dot, preferred_element_type=jnp.float32,
@@ -79,11 +83,11 @@ def _f32_from_keys(u):
     return pltpu.bitcast(raw, jnp.float32)
 
 
-def _stats_kernel(live_sm, toa_sm, te_sm, chan_sm,
-                  mag_hbm, dph_hbm, sat_hbm,
+def _stats_kernel(live_sm,
+                  mag_hbm, dph_hbm, sat_hbm, toa_any, chan_any,
                   toa_vm, te_vm, expand_vm, head_vm,
                   mag_out, dph_out, sat_out,
-                  mag_buf, dph_buf, sat_buf, sems,
+                  mag_buf, dph_buf, sat_buf, toa_sm, chan_sm, sems,
                   *, n_tiles: int, rows: int, window: int, t_len: int):
     """One invocation, ``fori_loop`` over the 128-pulse tiles.
 
@@ -91,6 +95,14 @@ def _stats_kernel(live_sm, toa_sm, te_sm, chan_sm,
     step (an earlier gridded formulation paid ~40 us of block-DMA/sequencing
     overhead per dead tile, which dominated at M * max_pulses slot capacity
     with a handful of live tiles).
+
+    Per-slot toa/chan scalars arrive as (8, P) ANY-space arrays and are
+    DMA'd ONE LIVE TILE AT A TIME into SMEM scratch (~1 KB per live tile).
+    Only the per-tile ``live`` flags ride scalar prefetch: SMEM ingress on
+    this part is ~130 MB/s, so prefetching the full M*max_pulses slot
+    lists (384 KB+) serialized ~11 ms of S(1) copies in front of the
+    kernel whenever the lists were computed in-graph (profiler-traced;
+    parameters hid the same cost by overlapping with earlier stages).
 
     The three streams stay separate 128-lane arrays: Mosaic gives
     exactly-128-lane HBM memrefs a flat layout where arbitrary-row DMA
@@ -105,13 +117,25 @@ def _stats_kernel(live_sm, toa_sm, te_sm, chan_sm,
     sat_out[...] = jnp.zeros_like(sat_out)
 
     def _tile_body(j):
-        # Issue the tile's DMAs (scalar toa/chan reads drive the offsets);
-        # each slot's copies are gated on its own validity, and invalid
-        # slots' stale scratch is masked out by the all-false masks below.
+        # Stage this tile's slot scalars into SMEM (lane slice is
+        # TILE-aligned, full 8 sublanes — legal DMA shape).
+        for any_ref, sm_ref, k in ((toa_any, toa_sm, 3), (chan_any, chan_sm, 4)):
+            pltpu.make_async_copy(
+                any_ref.at[:, pl.ds(j * TILE, TILE)], sm_ref, sems.at[k],
+            ).start()
+        for any_ref, sm_ref, k in ((toa_any, toa_sm, 3), (chan_any, chan_sm, 4)):
+            pltpu.make_async_copy(
+                any_ref.at[:, pl.ds(j * TILE, TILE)], sm_ref, sems.at[k],
+            ).wait()
+
+        # Issue the tile's DMAs (scalar toa/chan reads drive the offsets).
+        # Copies are UNGATED: invalid slots read clamped-offset rows (their
+        # masks below are all-false, so the stale data never matters), and
+        # dropping the 2*TILE scalar branches per tile beats skipping the
+        # odd dead slot in a live tile.
         def slot_copies(s):
-            idx = j * TILE + s
-            c = chan_sm[idx]
-            toa = toa_sm[idx]
+            c = chan_sm[0, s]
+            toa = toa_sm[0, s]
             r0 = jnp.clip(toa // LANES, 0, n_rows_total - rows)
             return [
                 pltpu.make_async_copy(
@@ -124,10 +148,8 @@ def _stats_kernel(live_sm, toa_sm, te_sm, chan_sm,
             ]
 
         for s in range(TILE):
-            @pl.when(toa_sm[j * TILE + s] < t_len)
-            def _(s=s):
-                for cp in slot_copies(s):
-                    cp.start()
+            for cp in slot_copies(s):
+                cp.start()
 
         # Per-pulse toa/te as (TILE, 1) f32 columns from the (8, P) VMEM
         # arrays (row replicated 8x — TPU block sublane dims must be
@@ -167,10 +189,8 @@ def _stats_kernel(live_sm, toa_sm, te_sm, chan_sm,
         s_mask = in_any & (pos >= 1.0) & (pos < plen - 1.0)
 
         for s in range(TILE):
-            @pl.when(toa_sm[j * TILE + s] < t_len)
-            def _(s=s):
-                for cp in slot_copies(s):
-                    cp.wait()
+            for cp in slot_copies(s):
+                cp.wait()
 
         # --- row-space group arithmetic (no MXU in the hot loop) ---
         # Every per-pulse scalar lives as a (g, 1) column with the value
@@ -367,8 +387,13 @@ def _pulse_stats_flat(
     extra zero-padded columns beyond it (e.g. from the channel-major
     transpose kernel's block grid) — masks and sentinels use ``t_len``."""
     m, t_arr = mag_cm.shape
-    p_flat = toa.shape[0]
-    assert p_flat % TILE == 0, p_flat
+    p_orig = toa.shape[0]
+    p_flat = ((p_orig + TILE - 1) // TILE) * TILE
+    if p_flat != p_orig:  # pad the slot list to whole tiles (dead slots)
+        pad = (0, p_flat - p_orig)
+        toa = jnp.pad(toa, pad, constant_values=t_len)
+        te = jnp.pad(te, pad, constant_values=t_len)
+        chan = jnp.pad(chan, pad)
     assert t_len <= t_arr, (t_len, t_arr)
     # Row-pad the time axis to whole 128-lane rows (mask excludes the pad).
     t_pad = (-t_arr) % LANES
@@ -386,9 +411,12 @@ def _pulse_stats_flat(
     live = jnp.max(
         (toa < t_len).astype(jnp.int32).reshape(n_tiles, TILE), axis=1
     )
-    # Row replicated 8x: TPU VMEM arrays need 8-divisible sublane dims.
+    # Row replicated 8x: TPU VMEM arrays need 8-divisible sublane dims, and
+    # the in-kernel SMEM staging DMA needs full-sublane slices.
     toa_v = jnp.broadcast_to(toa.astype(jnp.float32)[None, :], (8, p_flat))
     te_v = jnp.broadcast_to(te.astype(jnp.float32)[None, :], (8, p_flat))
+    toa_8 = jnp.broadcast_to(toa[None, :], (8, p_flat))
+    chan_8 = jnp.broadcast_to(chan[None, :], (8, p_flat))
 
     expand = np.zeros((g, TILE), np.float32)
     expand[np.arange(g), np.arange(g) // rows] = 1.0
@@ -399,14 +427,16 @@ def _pulse_stats_flat(
         _stats_kernel, n_tiles=n_tiles, rows=rows, window=window, t_len=t_len,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=1,  # live flags only (~1 KB; SMEM ingress is slow)
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # mag stream
             pl.BlockSpec(memory_space=pl.ANY),      # dph stream
             pl.BlockSpec(memory_space=pl.ANY),      # sat stream
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # toa (8, P)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # te (8, P)
+            pl.BlockSpec(memory_space=pl.ANY),      # toa (8, P) i32
+            pl.BlockSpec(memory_space=pl.ANY),      # chan (8, P) i32
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # toa (8, P) f32
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # te (8, P) f32
             pl.BlockSpec(memory_space=pltpu.VMEM),  # expand
             pl.BlockSpec(memory_space=pltpu.VMEM),  # head
         ],
@@ -419,7 +449,9 @@ def _pulse_stats_flat(
             pltpu.VMEM((g, LANES), jnp.float32),
             pltpu.VMEM((g, LANES), jnp.float32),
             pltpu.VMEM((g, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SMEM((8, TILE), jnp.int32),
+            pltpu.SMEM((8, TILE), jnp.int32),
+            pltpu.SemaphoreType.DMA((5,)),
         ],
     )
     mag_med, dph_med, sat_any = pl.pallas_call(
@@ -436,10 +468,10 @@ def _pulse_stats_flat(
         # kernel real headroom.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(live, toa, te, chan,
+    )(live,
       mag_cm.reshape(view), dph_cm.reshape(view), sat_cm.reshape(view),
-      toa_v, te_v, jnp.asarray(expand), jnp.asarray(head))
-    return mag_med[0], dph_med[0], sat_any[0]
+      toa_8, chan_8, toa_v, te_v, jnp.asarray(expand), jnp.asarray(head))
+    return mag_med[0, :p_orig], dph_med[0, :p_orig], sat_any[0, :p_orig]
 
 
 @functools.partial(
@@ -459,10 +491,9 @@ def pulse_stats(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Per-pulse (median mag, median dph, saturated) of shape (M, P_slots).
 
-    ``P_slots`` must be a multiple of 128.  Sample indices must stay below
-    2^24 per capture block (f32-exact integer broadcasting).  Valid slots
-    may appear anywhere (no ordering contract); wholly-empty 128-slot tiles
-    are skipped, so callers that can compact pulses to the front should
+    Sample indices must stay below 2^24 per capture block (f32-exact
+    integer broadcasting).  Valid slots may appear anywhere (no ordering
+    contract); wholly-empty slot tiles are skipped, so callers that can compact pulses to the front should
     (see :func:`pulse_stats_dense`).  ``t_len`` overrides the capture
     length when the streams carry zero-padded columns beyond it."""
     interpret = interpret or jax.devices()[0].platform == "cpu"
@@ -471,7 +502,6 @@ def pulse_stats(
     m = toa.shape[0]
     t_len = mag_cm.shape[1] if t_len is None else t_len
     p_slots = toa.shape[1]
-    assert p_slots % TILE == 0, p_slots
     if not stats_kernel_feasible(t_len, window):
         raise ValueError(_feasibility_error(t_len, window))
     chan = jnp.broadcast_to(
@@ -505,13 +535,12 @@ def pulse_stats_dense(
     """Dense-list variant of :func:`pulse_stats`: one flat slot list
     mixing all channels, shape (P,) outputs.
 
-    Kernel work scales with *occupied 128-slot tiles*: callers compact
-    their valid pulses to the front (rank = cumsum of the selection mask)
-    so a sparse capture over many channels costs ceil(pulses/128) tiles
-    instead of ``M * ceil(max_pulses/128)``."""
+    Kernel work scales with *occupied slot tiles* (TILE pulses each):
+    callers compact their valid pulses to the front (rank = cumsum of the
+    selection mask) so a sparse capture over many channels costs
+    ceil(pulses/TILE) tiles instead of ``M * ceil(max_pulses/TILE)``."""
     interpret = interpret or jax.devices()[0].platform == "cpu"
     t_len = mag_cm.shape[1] if t_len is None else t_len
-    assert toa.shape[0] % TILE == 0, toa.shape
     if not stats_kernel_feasible(t_len, window):
         raise ValueError(_feasibility_error(t_len, window))
     return _pulse_stats_flat(

@@ -101,6 +101,44 @@ def test_channelized_extraction_pallas_stats_parity():
                                rtol=0, atol=2e-5)
 
 
+def test_tiny_pulse_tier_parity():
+    """1-2 sample pulses route through the gather tier (no kernel slots)
+    and must match the XLA path bit-for-bit — the saturating-capture case
+    (noise transients at every band's slot cap) that motivated it."""
+    from sdr_channelizer_tpu.config import PdwConfig
+    from sdr_channelizer_tpu.dsp import pdw as pdwmod
+
+    rng = np.random.default_rng(5)
+    t_len, m = 8192, 4
+    mag = np.abs(rng.standard_normal((t_len, m))).astype(np.float32) * 1e-3
+    # plen 1, 2, and 3 pulses interleaved per channel.
+    for c in range(m):
+        for k, s in enumerate(range(200 + 37 * c, t_len - 600, 512)):
+            mag[s : s + 1 + (k % 3), c] = 1.0 + 0.1 * rng.random()
+    iq = (mag * np.exp(1j * 0.3)).astype(np.complex64)  # (T, M) streams
+    phase = np.full((t_len, m), np.degrees(0.3), np.float32)
+    sat = np.zeros((t_len, m), bool)
+    cfg = PdwConfig.channelized(max_pulses=64, max_pulse_samples=512)
+
+    ref = pdwmod.extract_pdws_channelized_streams(
+        jnp.asarray(mag), jnp.asarray(phase), jnp.asarray(sat), cfg,
+        stats="xla")
+    got = pdwmod.extract_pdws_channelized_streams(
+        jnp.asarray(mag), jnp.asarray(phase), jnp.asarray(sat), cfg,
+        stats="pallas")
+    assert int(np.asarray(ref.count).sum()) > 40
+    np.testing.assert_array_equal(np.asarray(got.count), np.asarray(ref.count))
+    np.testing.assert_array_equal(np.asarray(got.toa_idx),
+                                  np.asarray(ref.toa_idx))
+    np.testing.assert_array_equal(np.asarray(got.te_idx), np.asarray(ref.te_idx))
+    np.testing.assert_array_equal(np.asarray(got.mag), np.asarray(ref.mag))
+    np.testing.assert_array_equal(np.asarray(got.saturated),
+                                  np.asarray(ref.saturated))
+    got_f = np.asarray(got.freq_offset_hz)
+    ref_f = np.asarray(ref.freq_offset_hz)
+    np.testing.assert_allclose(got_f, ref_f, rtol=3e-7)
+
+
 def test_wideband_extraction_pallas_stats_parity():
     """Wideband (M=1) extraction through the Pallas stats path == XLA."""
     from sdr_channelizer_tpu.config import PdwConfig

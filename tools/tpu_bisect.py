@@ -136,7 +136,10 @@ def stage_stats(mag_cm, dph_cm, sat_cm, toa_idx, te_idx, t_len, m, window):
         jnp.arange(m, dtype=jnp.int32)[:, None], (m, P_SLOTS)).reshape(-1)
     plen = flat_te - flat_toa + 1
     valid_slot = flat_toa < t_len
-    is_short = valid_slot & (flat_te < t_len) & (plen <= SW)
+    closed = valid_slot & (flat_te < t_len)
+    # Mirrors dsp/pdw.py's three-tier split: plen <= 2 pulses go through
+    # the closed-form gather tier, so only 3 <= plen <= SW hits the kernel.
+    is_short = closed & (plen > 2) & (plen <= SW)
 
     def part(sel):
         rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
