@@ -48,11 +48,28 @@ _TDOT = functools.partial(
 
 def _latch_kernel(mag_ref, lead_ref, trail_ref, entry_ref, eye_ref,
                   cl_ref, ct_ref, carry,
-                  *, t_blk: int, log_steps: int):
+                  *, t_blk: int, log_steps: int, m_real: int):
     """Grid (T // t_blk,), sequential.  carry rows: 0 = entry state,
-    1 = lead-count base, 2 = trail-count base (per channel)."""
+    1 = lead-count base, 2 = trail-count base (per channel; with the
+    packed-pair layout row 1 holds both bases and row 2 is unused).
+
+    The element transfer functions are encoded as ONE 3-state value
+    ``t = (mag >= lead) - (mag <= trail)`` (+1 set, -1 reset, 0 hold):
+    with ``lead > trail`` elementwise (the reference's strictly separated
+    dB thresholds guarantee it) the toggle state cannot occur, and
+    composition is ``later + (1 - later^2) * earlier`` — ONE roll and ~5
+    VPU ops per ladder step instead of the two-roll (f(0), f(1)) form.
+    (Only corner: a channel whose lead == trail threshold AND an exactly
+    threshold-valued sample — e.g. an all-zero channel with a zero noise
+    floor — holds instead of toggling; the XLA scan's toggle there is
+    detector noise, not signal.)
+
+    When ``2 * m_real <= 128`` the lead/trail edge cumsums share one
+    128-lane ladder (trail parked in lanes [m_real, 2*m_real)) and one
+    MXU flip — half the rolls and transpose matmuls of two chains."""
     i = pl.program_id(0)
     m = mag_ref.shape[1]
+    pair = 2 * m_real <= m
 
     @pl.when(i == 0)
     def _():
@@ -60,66 +77,78 @@ def _latch_kernel(mag_ref, lead_ref, trail_ref, entry_ref, eye_ref,
         carry[0:1, :] = entry_ref[0:1, :]
 
     mag = mag_ref[...]
-    # Element transfer functions (f(0), f(1)) as f32 0/1: set / reset / hold
-    # / toggle (dsp/pdw.py:hysteresis_fns).
-    a = (mag >= lead_ref[0:1, :]).astype(jnp.float32)
-    b = 1.0 - (mag <= trail_ref[0:1, :]).astype(jnp.float32)
+    t = ((mag >= lead_ref[0:1, :]).astype(jnp.float32)
+         - (mag <= trail_ref[0:1, :]).astype(jnp.float32))
 
     row = jax.lax.broadcasted_iota(jnp.int32, (t_blk, m), 0)
-    # Inclusive prefix composition: compose(earlier, later) has
-    # a' = a_l + a_e*(b_l - a_l), b' = a_l + b_e*(b_l - a_l).
+    # Inclusive prefix composition (identity = hold = 0, so the keep-mask
+    # multiply doubles as the boundary fill).
     for k in range(log_steps):
         s = 1 << k
         keep = (row >= s).astype(jnp.float32)
-        sa = keep * pltpu.roll(a, s, axis=0)            # identity a = 0
-        sb = 1.0 - keep * (1.0 - pltpu.roll(b, s, axis=0))  # identity b = 1
-        d = b - a
-        a, b = a + sa * d, a + sb * d
+        te = keep * pltpu.roll(t, s, axis=0)
+        t = t + (1.0 - t * t) * te
 
     entry = carry[0:1, :]
-    state = a + entry * (b - a)
+    state = 0.5 * t * (t + 1.0) + (1.0 - t * t) * entry
     prev = pltpu.roll(state, 1, axis=0)
     is0 = (row < 1).astype(jnp.float32)
     prev = is0 * entry + (1.0 - is0) * prev
     lead = state * (1.0 - prev)
     trail = prev * (1.0 - state)
 
-    # In-block inclusive cumsums (same ladder, additive).
-    for k in range(log_steps):
-        s = 1 << k
-        keep = (row >= s).astype(jnp.float32)
-        lead = lead + keep * pltpu.roll(lead, s, axis=0)
-        trail = trail + keep * pltpu.roll(trail, s, axis=0)
-
-    cl = carry[1:2, :] + lead
-    ct = carry[2:3, :] + trail
     eye = eye_ref[...]
 
-    def flip(blk_tm, out_ref):
+    def flip(blk_tm):
         # (t_blk, m) -> (m, t_blk): per-128-row-tile MXU transpose
         # (transpose_kernel.py's trick; m is lane-padded to 128 here).
         tiles = [
             _TDOT(blk_tm[k * LANES:(k + 1) * LANES, :], eye)
             for k in range(t_blk // LANES)
         ]
-        out_ref[...] = jnp.concatenate(tiles, axis=1)
+        return jnp.concatenate(tiles, axis=1)
 
-    flip(cl, cl_ref)
-    flip(ct, ct_ref)
-    carry[0:1, :] = state[t_blk - 1 : t_blk, :]
-    carry[1:2, :] = cl[t_blk - 1 : t_blk, :]
-    carry[2:3, :] = ct[t_blk - 1 : t_blk, :]
+    if pair:
+        # Park the trail chain in lanes [m_real, 2*m_real): pad lanes are
+        # all-zero, so the cyclic lane roll wraps zeros into [0, m_real).
+        packed = lead + pltpu.roll(trail, m_real, axis=1)
+        for k in range(log_steps):
+            s = 1 << k
+            keep = (row >= s).astype(jnp.float32)
+            packed = packed + keep * pltpu.roll(packed, s, axis=0)
+        packed = carry[1:2, :] + packed
+        packed_cm = flip(packed)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (m, t_blk), 0)
+        keep_m = (rowi < m_real).astype(jnp.float32)
+        cl_ref[...] = keep_m * packed_cm
+        ct_ref[...] = keep_m * pltpu.roll(packed_cm, m - m_real, axis=0)
+        carry[0:1, :] = state[t_blk - 1 : t_blk, :]
+        carry[1:2, :] = packed[t_blk - 1 : t_blk, :]
+    else:
+        for k in range(log_steps):
+            s = 1 << k
+            keep = (row >= s).astype(jnp.float32)
+            lead = lead + keep * pltpu.roll(lead, s, axis=0)
+            trail = trail + keep * pltpu.roll(trail, s, axis=0)
+        cl = carry[1:2, :] + lead
+        ct = carry[2:3, :] + trail
+        cl_ref[...] = flip(cl)
+        ct_ref[...] = flip(ct)
+        carry[0:1, :] = state[t_blk - 1 : t_blk, :]
+        carry[1:2, :] = cl[t_blk - 1 : t_blk, :]
+        carry[2:3, :] = ct[t_blk - 1 : t_blk, :]
 
 
-@functools.partial(jax.jit, static_argnames=("t_blk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("t_blk", "interpret", "m_real"))
 def _latch_call(mag, lead_row, trail_row, entry_row, *, t_blk: int,
-                interpret: bool):
+                interpret: bool, m_real: int):
     t_len, m = mag.shape
     assert t_len % t_blk == 0
     assert m % LANES == 0, m
     log_steps = int(np.log2(t_blk))
     assert (1 << log_steps) == t_blk
-    kernel = functools.partial(_latch_kernel, t_blk=t_blk, log_steps=log_steps)
+    kernel = functools.partial(_latch_kernel, t_blk=t_blk, log_steps=log_steps,
+                               m_real=m_real)
     blk = pl.BlockSpec((t_blk, m), lambda i: (i, 0), memory_space=pltpu.VMEM)
     row = pl.BlockSpec((8, m), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out = pl.BlockSpec((m, t_blk), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -184,4 +213,4 @@ def pallas_latch_cumsums(
     else:
         entry_row = prep_row(entry_active, 0.0)
     return _latch_call(mag, lead_row, trail_row, entry_row, t_blk=t_blk,
-                       interpret=interpret)
+                       interpret=interpret, m_real=m)

@@ -26,7 +26,9 @@ def _xla_cumsums(mag, lead, trail, entry):
 
 
 @pytest.mark.parametrize("seed,t_len,m", [(0, 4096, 8), (1, 5000, 8),
-                                          (2, 2048, 16)])
+                                          (2, 2048, 16),
+                                          # 2m > 128: unpacked two-ladder path
+                                          (3, 2048, 96)])
 def test_latch_cumsums_match_xla(seed, t_len, m):
     rng = np.random.default_rng(seed)
     mag = np.abs(rng.standard_normal((t_len, m))).astype(np.float32)
