@@ -44,7 +44,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -397,6 +397,31 @@ def extract_pdws_channelized_streams(
     return jax.vmap(core, in_axes=(1, 1, 1, 0))(mag, phase_deg, sat, noise_floor)
 
 
+def extract_pdws_channelized_streams_cm(
+    mag: jax.Array,
+    mag_cm: jax.Array,
+    dph_cm: jax.Array,
+    sat_cm: jax.Array,
+    cfg: PdwConfig,
+    noise_floor: Optional[jax.Array] = None,
+) -> PdwBatch:
+    """Per-channel extraction when the channel-major detection streams are
+    already materialized (the fused channelizer kernel emits them —
+    ``pallas_channelize_streams_*_cm``): skips the in-path transpose.
+
+    ``mag`` is the (T, M) time-major magnitude (latch + noise floor);
+    ``mag_cm/dph_cm/sat_cm`` are the (128k, T_pad) channel-major streams.
+    Callers must check :func:`_pallas_stats_ok` first (this path has no
+    XLA fallback — it needs time-major phase/sat for that).
+    """
+    if noise_floor is None:
+        noise_floor = medians.median(mag, axis=0)
+    return _extract_channelized_pallas_stats(
+        mag, None, None, cfg, noise_floor,
+        cm_streams=(mag_cm, dph_cm, sat_cm),
+    )
+
+
 def _pallas_stats_ok(t_len: int, cfg: PdwConfig) -> bool:
     """True when the ``stats="auto"`` path should use the ``pulse_stats``
     Pallas kernel: sort-free backend AND the block satisfies the kernel's
@@ -420,6 +445,7 @@ def _extract_channelized_pallas_stats(
     noise_floor: jax.Array,
     entry_active: Optional[jax.Array] = None,
     own_len: Optional[int] = None,
+    cm_streams: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
 ) -> PdwBatch:
     """Channelized extraction with edge detection in XLA and per-pulse
     statistics in the ``pulse_stats`` Pallas kernel.  Emits the same batch
@@ -431,6 +457,12 @@ def _extract_channelized_pallas_stats(
     pulses whose leading edge is owned are emitted (trailing edges and
     statistics may extend into the halo).  Defaults reproduce the
     whole-capture behavior (latch starts inactive, everything owned).
+
+    ``cm_streams``, when given, are precomputed channel-major
+    ``(mag_cm, dph_cm, sat_cm)`` detection streams (the fused channelizer
+    kernel emits them directly — ``channelizer_kernel.py``
+    ``pallas_channelize_streams_*_cm``); ``phase_deg``/``sat`` may then be
+    ``None`` and the in-path transpose is skipped.
     """
     from sdr_channelizer_tpu.ops.pallas.pulse_stats_kernel import (
         TILE,
@@ -516,7 +548,9 @@ def _extract_channelized_pallas_stats(
         dph = jnp.concatenate([dph, jnp.zeros((1, m), dph.dtype)])
         return mag.T, dph.T, sat.astype(jnp.float32).T
 
-    if medians.use_sort_free():
+    if cm_streams is not None:
+        mag_cm, dph_cm, sat_cm = cm_streams
+    elif medians.use_sort_free():
         # Fused MXU transpose + wrapped phase diff (XLA's transpose of the
         # (T, M) detection streams is ~8 ms/16.7M samples on v5e — an order
         # of magnitude over its HBM bound).  Returns (128, T_padded) arrays;

@@ -82,8 +82,21 @@ class ChannelizerPipeline:
         prep in one Pallas pass (``ops/pallas/channelizer_kernel.py``)."""
         from sdr_channelizer_tpu.ops.pallas.channelizer_kernel import (
             pallas_channelize_streams,
+            pallas_channelize_streams_cm,
         )
 
+        m = self.channelizer.num_bands
+        t_len = xr.shape[-1] // m
+        if pdwmod._pallas_stats_ok(t_len, self.pdw_cfg):
+            mag, mag_cm, dph_cm, sat_cm = pallas_channelize_streams_cm(
+                xr, xi, self.channelizer.taps_rev, bit_width=bit_width,
+                sat_level=self.pdw_cfg.saturation_level,
+            )
+            nf = medians.median(mag, axis=0)
+            batch = pdwmod.extract_pdws_channelized_streams_cm(
+                mag, mag_cm, dph_cm, sat_cm, self.pdw_cfg, noise_floor=nf
+            )
+            return nf, mag, batch
         mag, ph, sat = pallas_channelize_streams(
             xr, xi, self.channelizer.taps_rev, bit_width=bit_width,
             sat_level=self.pdw_cfg.saturation_level,
@@ -100,11 +113,26 @@ class ChannelizerPipeline:
         """Like :meth:`forward_fused` but on the raw recorder payload:
         ``xq`` is the (N, 2) int16 I/Q buffer viewed as one int32 plane —
         on-disk bytes straight to the device, deinterleave + dequant
-        in-kernel."""
+        in-kernel.  When the capture fits the pulse-stats kernel, the
+        channelizer kernel emits the channel-major detection streams
+        directly (no separate transpose pass)."""
         from sdr_channelizer_tpu.ops.pallas.channelizer_kernel import (
             pallas_channelize_streams_packed,
+            pallas_channelize_streams_packed_cm,
         )
 
+        m = self.channelizer.num_bands
+        t_len = xq.shape[-1] // m
+        if pdwmod._pallas_stats_ok(t_len, self.pdw_cfg):
+            mag, mag_cm, dph_cm, sat_cm = pallas_channelize_streams_packed_cm(
+                xq, self.channelizer.taps_rev, bit_width=bit_width,
+                sat_level=self.pdw_cfg.saturation_level,
+            )
+            nf = medians.median(mag, axis=0)
+            batch = pdwmod.extract_pdws_channelized_streams_cm(
+                mag, mag_cm, dph_cm, sat_cm, self.pdw_cfg, noise_floor=nf
+            )
+            return nf, mag, batch
         mag, ph, sat = pallas_channelize_streams_packed(
             xq, self.channelizer.taps_rev, bit_width=bit_width,
             sat_level=self.pdw_cfg.saturation_level,

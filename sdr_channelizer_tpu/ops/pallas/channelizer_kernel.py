@@ -37,6 +37,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_TDOT = functools.partial(
+    jax.lax.dot_general,
+    dimension_numbers=(((0,), (0,)), ((), ())),
+    preferred_element_type=jnp.float32,
+    precision=jax.lax.Precision.HIGHEST,
+)
+
+
 def _win_rows(t_blk: int, p: int, tile: int = 16) -> int:
     """DMA window rows, rounded up to the sublane tiling (16 covers both
     f32 and int16 scratch — Mosaic requires tile-aligned slice shapes)."""
@@ -219,9 +227,9 @@ def _atan2(y, x):
 
 
 def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
-                    mag_ref, ph_ref, sat_ref, buf_r, buf_i, sems,
-                    *, block_frames: int, taps_per_band: int,
-                    scale: float, sat_level: float, packed: bool = False):
+                    *refs, block_frames: int, taps_per_band: int,
+                    scale: float, sat_level: float, packed: bool = False,
+                    channel_major: bool = False, t_len: int = 0):
     """Fused channelize + detection-stream kernel: int16 (or f32) planes in;
     magnitude, phase (degrees), and saturation-mask blocks out.
 
@@ -229,12 +237,31 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
     ``_prep_streams`` math (|y|, angle in degrees, |Re|,|Im| >= level) of
     the PDW front-end into one pass — the capture is read from HBM exactly
     once (SURVEY.md section 7 step 3).
+
+    With ``channel_major`` the kernel additionally emits the transposed
+    detection streams the pulse-stats stage wants — ``(128, T)`` magnitude,
+    wrapped phase diff, and saturation — straight from VMEM via the MXU
+    identity-transpose trick (``transpose_kernel.py``), replacing the
+    separate transpose pass (3 stream writes + 3 reads + 3 writes of HBM
+    traffic become 1 write + 3 writes; ~2.2 ms of a 12.7 ms step on v5e).
+    The phase diff needs one look-ahead frame, so the FIR/DFT run over
+    ``t_blk + 8`` rows (sublane-aligned) and the outputs take rows
+    [0, t_blk); ``dph`` columns at/past ``t_len - 1`` are zeroed (the
+    reference's trailing zero row, ``dsp/pdw.py``).
     """
     t_blk = block_frames
     p = taps_per_band
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
-    win = _win_rows(t_blk, p)  # sublane-tiling-aligned DMA window
+    extra = 8 if channel_major else 0
+    win = _win_rows(t_blk + extra, p)  # sublane-tiling-aligned DMA window
+    if channel_major:
+        eye_ref = refs[0]
+        mag_ref, mag_cm_ref, dph_cm_ref, sat_cm_ref = refs[1:5]
+        buf_r, buf_i, sems = refs[5:]
+    else:
+        mag_ref, ph_ref, sat_ref = refs[0:3]
+        buf_r, buf_i, sems = refs[3:]
 
     def window_dma(slot, blk_idx):
         copies = [
@@ -289,11 +316,12 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
     elif dequant:
         vi_win = buf_r[slot].astype(jnp.float32) * scale
         vq_win = buf_i[slot].astype(jnp.float32) * scale
-    ur = jnp.zeros((t_blk, m), jnp.float32)
-    ui = jnp.zeros((t_blk, m), jnp.float32)
+    rows = t_blk + extra  # look-ahead frames for the cm phase diff
+    ur = jnp.zeros((rows, m), jnp.float32)
+    ui = jnp.zeros((rows, m), jnp.float32)
     for pp in range(p):
         tap = taps_ref[pp : pp + 1, :]  # (1, m): keep 2-D for Mosaic
-        sl = slice(p - 1 - pp, p - 1 - pp + t_blk)
+        sl = slice(p - 1 - pp, p - 1 - pp + rows)
         if dequant:
             ur = ur + tap * vi_win[sl]
             ui = ui + tap * vq_win[sl]
@@ -307,12 +335,48 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
           - jnp.dot(ui, wi, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST))
     yi = (jnp.dot(ur, wi, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
           + jnp.dot(ui, wr, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST))
-    mag_ref[...] = jnp.sqrt(yr * yr + yi * yi)
-    ph_ref[...] = _atan2(yi, yr) * jnp.float32(180.0 / np.pi)
-    sat_ref[...] = jnp.where(
+    mag = jnp.sqrt(yr * yr + yi * yi)
+    ph = _atan2(yi, yr) * jnp.float32(180.0 / np.pi)
+    sat = jnp.where(
         (jnp.abs(yr) >= sat_level) | (jnp.abs(yi) >= sat_level),
         jnp.float32(1.0), jnp.float32(0.0),
     )
+    if not channel_major:
+        mag_ref[...] = mag
+        ph_ref[...] = ph
+        sat_ref[...] = sat
+        return
+
+    mag_ref[...] = mag[:t_blk]
+    # Wrapped phase diff (same op order as the XLA path -> bit-identical),
+    # zeroed at/past the reference's trailing zero row t_len - 1.
+    d = ph[1 : 1 + t_blk, :] - ph[0:t_blk, :]
+    d = jnp.where(d < -180.0, d + 360.0, d)
+    d = jnp.where(d > 180.0, d - 360.0, d)
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+    live = (t_iota + i * t_blk) < (t_len - 1)
+    d = jnp.where(live, d, 0.0)
+    # Frames at/past t_len see real trailing samples through their FIR
+    # windows; zero them so the cm pad columns keep the transpose-kernel
+    # contract (columns past t_len are zero).
+    live_col = ((t_iota + i * t_blk) < t_len).astype(jnp.float32)
+    mag_live = mag[:t_blk] * live_col
+    sat_live = sat[:t_blk] * live_col
+
+    eye = eye_ref[...]
+
+    def flip(blk_tm, out_ref):
+        # (t_blk, 128) -> (128, t_blk): per-128-row-tile MXU transpose
+        # (f32 identity matmuls at HIGHEST precision are exact).
+        tiles = [
+            _TDOT(blk_tm[k * 128 : (k + 1) * 128, :], eye)
+            for k in range(t_blk // 128)
+        ]
+        out_ref[...] = jnp.concatenate(tiles, axis=1)
+
+    flip(mag_live, mag_cm_ref)
+    flip(d, dph_cm_ref)
+    flip(sat_live, sat_cm_ref)
 
 
 @functools.partial(
@@ -359,6 +423,144 @@ def _pallas_fir_dft_streams(
         ],
         interpret=interpret,
     )(xr, xi, taps, wr, wi)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_frames", "scale", "sat_level", "interpret",
+                     "packed", "t_len"),
+)
+def _pallas_fir_dft_streams_cm(
+    xr, xi, taps, wr, wi, *,
+    block_frames: int, scale: float, sat_level: float, t_len: int,
+    interpret: bool = False, packed: bool = False,
+):
+    """Channel-major variant: returns (mag_tm, mag_cm, dph_cm, sat_cm) with
+    ``mag_tm`` shaped (n_frames, M) and the cm streams (M, n_frames) —
+    ``n_frames`` here is the padded block grid; callers slice/pass t_len."""
+    p, m = taps.shape
+    win = _win_rows(block_frames + 8, p)
+    n_frames = xr.shape[0] - (win - block_frames)
+    assert n_frames % block_frames == 0
+    n_blocks = n_frames // block_frames
+
+    kernel = functools.partial(
+        _streams_kernel, block_frames=block_frames, taps_per_band=p,
+        scale=scale, sat_level=sat_level, packed=packed,
+        channel_major=True, t_len=t_len,
+    )
+    out_tm = pl.BlockSpec((block_frames, m), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    out_cm = pl.BlockSpec((m, block_frames), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # taps
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wr
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wi
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # identity
+        ],
+        out_specs=[out_tm, out_cm, out_cm, out_cm],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_frames, m), jnp.float32),
+            jax.ShapeDtypeStruct((m, n_frames), jnp.float32),
+            jax.ShapeDtypeStruct((m, n_frames), jnp.float32),
+            jax.ShapeDtypeStruct((m, n_frames), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, win, m), xr.dtype),
+            pltpu.VMEM((2, win, m), xi.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xr, xi, taps, wr, wi,
+      jnp.asarray(np.eye(128, dtype=np.float32)))
+
+
+def pallas_channelize_streams_cm(
+    xr: jax.Array,
+    xi: jax.Array,
+    taps_rev: np.ndarray,
+    bit_width: int = 0,
+    sat_level: float = 0.9999,
+    shift: bool = True,
+    block_frames: int = 1024,
+    interpret: bool = False,
+):
+    """Planes-ingest variant of :func:`pallas_channelize_streams_packed_cm`:
+    f32 (or int16, with ``bit_width``) sample planes in, ``(mag, mag_cm,
+    dph_cm, sat_cm)`` out."""
+    p, m = taps_rev.shape
+    n_frames = xr.shape[-1] // m
+    scale = float(2.0 ** -(bit_width - 1)) if bit_width else 1.0
+    interpret = interpret or jax.devices()[0].platform == "cpu"
+    m_pad = _lane_pad(m)
+
+    def prep(v):
+        fr = v[..., : n_frames * m].reshape(n_frames, m)
+        n_pad = (-n_frames) % block_frames
+        tail = n_pad + (_win_rows(block_frames + 8, p) - (block_frames + p - 1))
+        return jnp.pad(fr, ((p - 1, tail), (0, m_pad - m)))
+
+    from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
+
+    w = dft_matrix(m, shifted=shift)
+    taps_p, wr_p, wi_p = _pad_weights(taps_rev, w, m_pad)
+    mag, mag_cm, dph_cm, sat_cm = _pallas_fir_dft_streams_cm(
+        prep(xr), prep(xi), taps_p, wr_p, wi_p,
+        block_frames=block_frames, scale=scale, sat_level=float(sat_level),
+        t_len=n_frames, interpret=interpret,
+    )
+    return mag[:n_frames, :m], mag_cm, dph_cm, sat_cm
+
+
+def pallas_channelize_streams_packed_cm(
+    xq: jax.Array,
+    taps_rev: np.ndarray,
+    bit_width: int = 12,
+    sat_level: float = 0.9999,
+    shift: bool = True,
+    block_frames: int = 1024,
+    interpret: bool = False,
+):
+    """Packed ingest + channel-major streams in one kernel pass.
+
+    Like :func:`pallas_channelize_streams_packed` but returns
+    ``(mag, mag_cm, dph_cm, sat_cm)``: time-major magnitude (n_frames, M)
+    for the latch/noise-floor stages plus the three channel-major
+    ``(128k, T_pad)`` detection streams the pulse-stats stage consumes
+    (``transpose_kernel.py`` semantics: wrapped phase diff with a zero row
+    at ``t_len - 1``, columns past ``t_len`` zero).  Replaces the separate
+    transpose kernel pass on the headline path.
+    """
+    p, m = taps_rev.shape
+    n_frames = xq.shape[-1] // m
+    scale = float(2.0 ** -(bit_width - 1))
+    interpret = interpret or jax.devices()[0].platform == "cpu"
+    m_pad = _lane_pad(m)
+
+    fr = xq[..., : n_frames * m].reshape(n_frames, m)
+    n_pad = (-n_frames) % block_frames
+    tail = n_pad + (_win_rows(block_frames + 8, p) - (block_frames + p - 1))
+    fr = jnp.pad(fr, ((p - 1, tail), (0, m_pad - m)))
+
+    from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
+
+    w = dft_matrix(m, shifted=shift)
+    taps_p, wr_p, wi_p = _pad_weights(taps_rev, w, m_pad)
+    mag, mag_cm, dph_cm, sat_cm = _pallas_fir_dft_streams_cm(
+        fr, fr, taps_p, wr_p, wi_p,
+        block_frames=block_frames, scale=scale, sat_level=float(sat_level),
+        t_len=n_frames, interpret=interpret, packed=True,
+    )
+    return mag[:n_frames, :m], mag_cm, dph_cm, sat_cm
 
 
 def pallas_channelize_streams(

@@ -1,0 +1,130 @@
+"""Channel-major fused channelizer kernel parity (interpret mode).
+
+The ``*_cm`` kernel variants emit the transposed detection streams straight
+from the channelizer pass (``channelizer_kernel.py:_streams_kernel`` with
+``channel_major=True``), replacing the separate transpose kernel on the
+headline path.  These tests pin bit-identity against the two-kernel
+composition and against the full extraction.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sdr_channelizer_tpu.config import PdwConfig
+from sdr_channelizer_tpu.dsp import pdw as pdwmod
+from sdr_channelizer_tpu.dsp.channelizer import Channelizer
+from sdr_channelizer_tpu.io import iqpacket
+from sdr_channelizer_tpu.ops import medians
+from sdr_channelizer_tpu.ops.pallas.channelizer_kernel import (
+    pallas_channelize_streams,
+    pallas_channelize_streams_cm,
+    pallas_channelize_streams_packed_cm,
+)
+from sdr_channelizer_tpu.ops.pallas.transpose_kernel import pallas_cm_streams
+from sdr_channelizer_tpu.signal.synth import PulseTrainSpec, pulse_train
+
+M = 8
+CFG = PdwConfig.channelized(max_pulses=64, max_pulse_samples=256)
+
+
+def _capture(bit_width=16):
+    spec = PulseTrainSpec(sample_rate_sps=8e6, duration_sec=1e-3,
+                          frequency_hz=1.7e6, pulse_width_sec=60e-6,
+                          pri_sec=300e-6, start_index=101, noise_std=5e-3)
+    iq = pulse_train(spec, seed=7)
+    samples = iqpacket.from_complex(iq, bit_width)
+    n = len(iq) // M * M
+    return np.ascontiguousarray(samples[:n])
+
+
+def test_cm_streams_match_transpose_kernel():
+    samples = _capture()
+    xr = jnp.asarray(np.ascontiguousarray(samples[:, 0]))
+    xi = jnp.asarray(np.ascontiguousarray(samples[:, 1]))
+    chan = Channelizer.create(M)
+    kw = dict(bit_width=16, block_frames=256, interpret=True)
+
+    mag, ph, sat = pallas_channelize_streams(xr, xi, chan.taps_rev, **kw)
+    ref_cm = pallas_cm_streams(mag, ph, sat, interpret=True)
+
+    mag2, mag_cm, dph_cm, sat_cm = pallas_channelize_streams_cm(
+        xr, xi, chan.taps_rev, **kw)
+    np.testing.assert_array_equal(np.asarray(mag2), np.asarray(mag))
+    t_len = mag.shape[0]
+    for got, ref in zip((mag_cm, dph_cm, sat_cm), ref_cm):
+        got = np.asarray(got)
+        np.testing.assert_array_equal(got[:, :t_len],
+                                      np.asarray(ref)[:, :t_len])
+        assert not got[:, t_len:].any()  # pad columns stay zero
+
+
+@pytest.mark.parametrize("bit_width", [12, 8])
+def test_packed_cm_matches_planes_cm(bit_width):
+    samples = _capture(bit_width)
+    chan = Channelizer.create(M)
+    xr = jnp.asarray(np.ascontiguousarray(samples[:, 0]))
+    xi = jnp.asarray(np.ascontiguousarray(samples[:, 1]))
+    ref = pallas_channelize_streams_cm(
+        xr, xi, chan.taps_rev, bit_width=bit_width, block_frames=256,
+        interpret=True)
+
+    packed_dt = np.int16 if samples.dtype == np.int8 else np.int32
+    xq = jnp.asarray(samples.view(packed_dt).ravel())
+    got = pallas_channelize_streams_packed_cm(
+        xq, chan.taps_rev, bit_width=bit_width, block_frames=256,
+        interpret=True)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_extract_cm_matches_streams_path(monkeypatch):
+    samples = _capture()
+    chan = Channelizer.create(M)
+    xr = jnp.asarray(np.ascontiguousarray(samples[:, 0]))
+    xi = jnp.asarray(np.ascontiguousarray(samples[:, 1]))
+    kw = dict(bit_width=16, block_frames=256, interpret=True)
+
+    mag, ph, sat = pallas_channelize_streams(xr, xi, chan.taps_rev, **kw)
+    monkeypatch.setattr(medians, "use_sort_free", lambda: True)
+    ref = pdwmod.extract_pdws_channelized_streams(
+        mag, ph, sat > 0.5, CFG, stats="pallas")
+
+    mag2, mag_cm, dph_cm, sat_cm = pallas_channelize_streams_cm(
+        xr, xi, chan.taps_rev, **kw)
+    got = pdwmod.extract_pdws_channelized_streams_cm(
+        mag2, mag_cm, dph_cm, sat_cm, CFG)
+    assert int(np.asarray(got.count).sum()) > 0
+    for name in ("toa_idx", "te_idx", "pw_sec", "mag", "snr_db",
+                 "freq_offset_hz", "saturated", "valid", "count"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)),
+            err_msg=name)
+
+
+def test_forward_packed_routes_cm(monkeypatch):
+    """The pipeline's packed forward takes the cm route (when feasible) and
+    emits the same batch as the two-kernel streams path."""
+    from sdr_channelizer_tpu.models.pipeline import ChannelizerPipeline
+    from sdr_channelizer_tpu.ops.pallas.channelizer_kernel import (
+        pallas_channelize_streams_packed,
+    )
+
+    samples = _capture(12)
+    pipe = ChannelizerPipeline.create(M, pdw_cfg=CFG)
+    xq = jnp.asarray(samples.view(np.int32).ravel())
+
+    monkeypatch.setattr(medians, "use_sort_free", lambda: True)
+    assert pdwmod._pallas_stats_ok(samples.shape[0] // M, CFG)
+    nf, mag, batch = pipe.forward_packed(xq, bit_width=12)
+
+    mag_r, ph_r, sat_r = pallas_channelize_streams_packed(
+        xq, pipe.channelizer.taps_rev, bit_width=12,
+        sat_level=CFG.saturation_level)
+    ref = pdwmod.extract_pdws_channelized_streams(
+        mag_r, ph_r, sat_r > 0.5, CFG, stats="pallas")
+    np.testing.assert_array_equal(np.asarray(mag), np.asarray(mag_r))
+    for name in ("toa_idx", "te_idx", "mag", "snr_db", "valid", "count"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(batch, name)), np.asarray(getattr(ref, name)),
+            err_msg=name)
