@@ -49,6 +49,11 @@ def main() -> None:
                          "throughput should stay flat, so value/value[1] "
                          "measures sharding+collective overhead, not compute "
                          "scaling")
+    ap.add_argument("--fused", action="store_true",
+                    help="measure the fused-kernel sharded path (per-shard "
+                         "Pallas channelize-streams kernel, packed int16 "
+                         "ingest — the multi-chip form of the bench.py "
+                         "headline).  Requires chan-split 1.")
     args = ap.parse_args()
 
     import os
@@ -90,11 +95,20 @@ def main() -> None:
         n = args.bands * args.frames_per_device * total_time
         x = (0.001 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
              ).astype(np.complex64)
-        out = pipe.step(x)
+        if args.fused:
+            if n_chan != 1:
+                raise SystemExit("--fused shards time only (chan-split 1)")
+            i16 = np.clip(np.round(np.stack([x.real, x.imag], -1) * 2048),
+                          -2048, 2047).astype(np.int16)
+            xq = i16.view(np.int32).ravel()
+            step = lambda: pipe.step_packed(xq, bit_width=12)
+        else:
+            step = lambda: pipe.step(x)
+        out = step()
         _sync(out)
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            out = pipe.step(x)
+            out = step()
         _sync(out)
         dt = (time.perf_counter() - t0) / args.iters
         msps = n / dt / 1e6

@@ -540,30 +540,42 @@ def _extract_channelized_pallas_stats(
     count = jnp.minimum(jnp.sum(matched, axis=1), max_pulses).astype(jnp.int32)
     valid = jnp.arange(p_slots)[None, :] < count[:, None]
 
-    # Channel-major streams for the stats kernel.
-    def xla_cm_streams():
+    # Channel-major streams for the stats kernel.  The +inf end-of-capture
+    # latch pad (sharded/streamed right halos) must NOT reach the stats
+    # streams: the MXU transpose and the kernel's matmul-tree reductions
+    # turn inf into NaN (inf * 0) and poison every slot sharing a tile.
+    # Matched pulses never cover an inf sample (inf can't cross the
+    # trailing threshold, so the latch never closes over it), so zeroing is
+    # invisible to emitted statistics.
+    def xla_cm_streams(mag_s):
         dph = phase_deg[1:] - phase_deg[:-1]
         dph = jnp.where(dph < -180.0, dph + 360.0, dph)
         dph = jnp.where(dph > 180.0, dph - 360.0, dph)
         dph = jnp.concatenate([dph, jnp.zeros((1, m), dph.dtype)])
-        return mag.T, dph.T, sat.astype(jnp.float32).T
+        return mag_s.T, dph.T, sat.astype(jnp.float32).T
 
     if cm_streams is not None:
         mag_cm, dph_cm, sat_cm = cm_streams
-    elif medians.use_sort_free():
-        # Fused MXU transpose + wrapped phase diff (XLA's transpose of the
-        # (T, M) detection streams is ~8 ms/16.7M samples on v5e — an order
-        # of magnitude over its HBM bound).  Returns (128, T_padded) arrays;
-        # the stats kernel takes the true t_len instead of a slice.
-        from sdr_channelizer_tpu.ops.pallas.transpose_kernel import (
-            pallas_cm_streams,
-        )
-
-        mag_cm, dph_cm, sat_cm = pallas_cm_streams(
-            mag, phase_deg, sat.astype(jnp.float32)
-        )
     else:
-        mag_cm, dph_cm, sat_cm = xla_cm_streams()
+        # Only block-contract callers can carry the inf pad (whole captures
+        # are normalized data) — keep the no-halo path copy-free.
+        mag_s = (jnp.where(jnp.isinf(mag), jnp.float32(0.0), mag)
+                 if own_len is not None else mag)
+        if medians.use_sort_free():
+            # Fused MXU transpose + wrapped phase diff (XLA's transpose of
+            # the (T, M) detection streams is ~8 ms/16.7M samples on v5e —
+            # an order of magnitude over its HBM bound).  Returns
+            # (128, T_padded) arrays; the stats kernel takes the true t_len
+            # instead of a slice.
+            from sdr_channelizer_tpu.ops.pallas.transpose_kernel import (
+                pallas_cm_streams,
+            )
+
+            mag_cm, dph_cm, sat_cm = pallas_cm_streams(
+                mag_s, phase_deg, sat.astype(jnp.float32)
+            )
+        else:
+            mag_cm, dph_cm, sat_cm = xla_cm_streams(mag_s)
 
     sw = _SHORT_WINDOW
     if w > sw and stats_kernel_feasible(t_len, sw):

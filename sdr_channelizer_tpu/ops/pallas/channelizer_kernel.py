@@ -28,7 +28,7 @@ bandwidth-bound workload (reference workload shape:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -572,6 +572,7 @@ def pallas_channelize_streams(
     shift: bool = True,
     block_frames: int = 1024,
     interpret: bool = False,
+    history: Optional[Tuple[jax.Array, jax.Array]] = None,
 ):
     """Capture planes -> (mag, phase_deg, sat) detection streams, fused.
 
@@ -580,6 +581,11 @@ def pallas_channelize_streams(
     (``bit_width=0``).  Returns three ``(N // M, M)`` float32 arrays ready
     for ``dsp.pdw.extract_pdws_channelized_streams`` (``sat`` is a 0/1
     mask).
+
+    ``history``: optional ``(hist_r, hist_i)`` pair of ``(P-1, M)`` frames
+    of FIR state entering this capture block (the previous time shard's
+    tail, same dtype as the planes) — overlap-save for sharded/streamed
+    runs.  Default zeros = the MATLAB System-object zero initial state.
     """
     p, m = taps_rev.shape
     n_frames = xr.shape[-1] // m
@@ -589,18 +595,22 @@ def pallas_channelize_streams(
     # Mosaic requires 128-aligned lane slices: zero-pad the channel axis.
     m_pad = _lane_pad(m)
 
-    def prep(v):
+    def prep(v, hist=None):
         fr = v[..., : n_frames * m].reshape(n_frames, m)
         n_pad = (-n_frames) % block_frames
         tail = n_pad + (_win_rows(block_frames, p) - (block_frames + p - 1))
+        if hist is not None:
+            fr = jnp.concatenate([hist.reshape(p - 1, m).astype(fr.dtype), fr])
+            return jnp.pad(fr, ((0, tail), (0, m_pad - m)))
         return jnp.pad(fr, ((p - 1, tail), (0, m_pad - m)))
 
     from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
 
     w = dft_matrix(m, shifted=shift)
     taps_p, wr_p, wi_p = _pad_weights(taps_rev, w, m_pad)
+    hr, hi = history if history is not None else (None, None)
     mag, ph, sat = _pallas_fir_dft_streams(
-        prep(xr), prep(xi), taps_p, wr_p, wi_p,
+        prep(xr, hr), prep(xi, hi), taps_p, wr_p, wi_p,
         block_frames=block_frames, scale=scale, sat_level=float(sat_level),
         interpret=interpret,
     )
@@ -615,6 +625,7 @@ def pallas_channelize_streams_packed(
     shift: bool = True,
     block_frames: int = 1024,
     interpret: bool = False,
+    history: Optional[jax.Array] = None,
 ):
     """Packed-payload variant of :func:`pallas_channelize_streams`.
 
@@ -626,6 +637,10 @@ def pallas_channelize_streams_packed(
     go to the device untouched and the kernel does the sign-extension and
     Q-format dequant — half (int16) or a quarter (int8) of the
     host->device traffic of the f32-planes path.
+
+    ``history``: optional ``(P-1, M)`` packed frames of FIR state entering
+    this block (the previous time shard's tail, same packed dtype as
+    ``xq``); default zeros.
     """
     p, m = taps_rev.shape
     n_frames = xq.shape[-1] // m
@@ -636,7 +651,11 @@ def pallas_channelize_streams_packed(
     fr = xq[..., : n_frames * m].reshape(n_frames, m)
     n_pad = (-n_frames) % block_frames
     tail = n_pad + (_win_rows(block_frames, p) - (block_frames + p - 1))
-    fr = jnp.pad(fr, ((p - 1, tail), (0, m_pad - m)))
+    if history is not None:
+        fr = jnp.concatenate([history.reshape(p - 1, m).astype(fr.dtype), fr])
+        fr = jnp.pad(fr, ((0, tail), (0, m_pad - m)))
+    else:
+        fr = jnp.pad(fr, ((p - 1, tail), (0, m_pad - m)))
 
     from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
 

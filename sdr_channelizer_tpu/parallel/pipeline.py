@@ -158,6 +158,99 @@ def _build_channelize_local_planes(chan, n_time: int, n_chan: int, t_loc: int):
     return local
 
 
+def _build_channelize_local_fused(chan, cfg: PdwConfig, n_time: int,
+                                  t_loc: int, packed: bool, bit_width: int):
+    """Per-shard fused Pallas channelize + detection-streams kernel with
+    overlap-save FIR history over ``ppermute`` — the multi-chip form of
+    ``models.pipeline.ChannelizerPipeline.forward_fused`` /
+    ``forward_packed``.  Each shard sends its last ``P-1`` frames right;
+    the kernel consumes them as its FIR entry state (``history=``), so the
+    concatenated streams equal the single-device kernel bit-for-bit."""
+    from sdr_channelizer_tpu.ops.pallas.channelizer_kernel import (
+        pallas_channelize_streams,
+        pallas_channelize_streams_packed,
+    )
+
+    taps_np = chan.taps_rev  # (P, M) float32
+    p, m = taps_np.shape
+
+    def exchange_tail(frames):
+        if p == 1:
+            return None
+        tail = frames[-(p - 1):]
+        return jax.lax.ppermute(tail, TIME_AXIS, _fwd_perm(n_time))
+
+    if packed:
+        def local(xq_loc: jax.Array):
+            hist = exchange_tail(xq_loc.reshape(t_loc, m))
+            return pallas_channelize_streams_packed(
+                xq_loc, taps_np, bit_width=bit_width,
+                sat_level=cfg.saturation_level, history=hist,
+            )
+    else:
+        def local(xr_loc: jax.Array, xi_loc: jax.Array):
+            hr = exchange_tail(xr_loc.reshape(t_loc, m))
+            hi = exchange_tail(xi_loc.reshape(t_loc, m))
+            history = None if hr is None else (hr, hi)
+            return pallas_channelize_streams(
+                xr_loc, xi_loc, taps_np, bit_width=bit_width,
+                sat_level=cfg.saturation_level, history=history,
+            )
+
+    return local
+
+
+def _build_pdw_local_streams(cfg: PdwConfig, n_time: int, t_loc: int,
+                             halo: int, m: int, pallas_stats: bool):
+    """Per-shard PDW extraction from precomputed (t_loc, M) detection
+    streams: right stream halo + cross-shard latch chaining, statistics via
+    either the Pallas ``pulse_stats`` path (``pallas_stats=True`` — the
+    single-chip fast path, shard-local) or the XLA block core."""
+    core = functools.partial(
+        pdwmod.extract_pdws_block_core,
+        own_len=t_loc,
+        snr_threshold_db=cfg.snr_threshold_db,
+        trailing_threshold_db=cfg.trailing_threshold_db,
+        max_pulses=cfg.max_pulses,
+        max_pulse_samples=cfg.max_pulse_samples,
+    )
+
+    def local(mag, ph, sat, nf: jax.Array) -> PdwBatch:
+        t_i = jax.lax.axis_index(TIME_AXIS)
+        hm = jax.lax.ppermute(mag[:halo], TIME_AXIS, _bwd_perm(n_time))
+        hp = jax.lax.ppermute(ph[:halo], TIME_AXIS, _bwd_perm(n_time))
+        hs = jax.lax.ppermute(sat[:halo], TIME_AXIS, _bwd_perm(n_time))
+        hm = jnp.where(t_i == n_time - 1, jnp.inf, hm)
+        mag_e = jnp.concatenate([mag, hm], axis=0)
+        ph_e = jnp.concatenate([ph, hp], axis=0)
+        sat_e = jnp.concatenate([sat, hs], axis=0) > 0.5
+
+        a_blk, b_blk = pdwmod.block_transfer(
+            mag.T, nf[:, None],
+            cfg.snr_threshold_db, cfg.trailing_threshold_db,
+        )
+        ag_a = jax.lax.all_gather(a_blk, TIME_AXIS)
+        ag_b = jax.lax.all_gather(b_blk, TIME_AXIS)
+        pa, _ = jax.lax.associative_scan(
+            pdwmod.compose_transfer, (ag_a, ag_b), axis=0
+        )
+        prev = jnp.take(pa, jnp.maximum(t_i - 1, 0), axis=0)
+        entry = jnp.where(t_i == 0, jnp.zeros((m,), bool), prev)
+
+        if pallas_stats:
+            batch = pdwmod._extract_channelized_pallas_stats(
+                mag_e, ph_e, sat_e, cfg, nf,
+                entry_active=entry, own_len=t_loc,
+            )
+        else:
+            batch = jax.vmap(core, in_axes=(1, 1, 1, 0, 0))(
+                mag_e, ph_e, sat_e, nf, entry
+            )
+        return jax.tree.map(lambda v: v[None], batch)
+
+    return local
+
+
 def _build_pdw_local(cfg: PdwConfig, n_time: int, t_loc: int, halo: int,
                      m_loc: int, planes: bool = False):
     core = functools.partial(
@@ -323,6 +416,137 @@ class ShardedPipeline:
             return yr, yi, nf, batch
 
         return step, t_loc
+
+    def _build_fused(self, n_samples: int, packed: bool, bit_width: int,
+                     stats: str = "auto"):
+        """Fused-kernel sharded pipeline (time sharding only): per-shard
+        Pallas channelize + detection-streams kernel (overlap-save FIR
+        history over ICI), global noise-floor median, per-shard PDW
+        extraction with the Pallas ``pulse_stats`` path when feasible —
+        the multi-chip composition of the single-chip headline path
+        (``bench.py``; ``create_pdws_channelized.m:57-136``).
+
+        ``stats``: "auto" (Pallas stats off-CPU when the block fits),
+        "pallas" (force — interpret-mode on CPU, for parity tests), or
+        "xla" (block-core scan).
+        """
+        n_time, n_chan = self.n_time, self.n_chan
+        if n_chan != 1:
+            raise ValueError(
+                "the fused sharded pipeline shards time only (the kernel "
+                "computes all M bands per shard); use a (n_time, 1) mesh "
+                "or the XLA path for channel sharding"
+            )
+        m = self.channelizer.num_bands
+        if n_samples % (n_time * m):
+            raise ValueError(
+                f"capture length {n_samples} must divide into "
+                f"{n_time} time shards of whole {m}-sample frames"
+            )
+        t_loc = n_samples // (n_time * m)
+        halo = _cap_halo(self.halo_frames or self.pdw_cfg.max_pulse_samples, t_loc)
+
+        if stats == "auto":
+            pallas_stats = pdwmod._pallas_stats_ok(t_loc + halo, self.pdw_cfg)
+        elif stats == "pallas":
+            pallas_stats = True
+        elif stats == "xla":
+            pallas_stats = False
+        else:
+            raise ValueError(f"unknown stats mode {stats!r}")
+
+        chan_local = _build_channelize_local_fused(
+            self.channelizer, self.pdw_cfg, n_time, t_loc, packed, bit_width
+        )
+        pdw_local = _build_pdw_local_streams(
+            self.pdw_cfg, n_time, t_loc, halo, m, pallas_stats
+        )
+        batch_specs = PdwBatch(
+            **{f.name: P(TIME_AXIS, CHAN_AXIS) for f in dataclasses.fields(PdwBatch)}
+        )
+        stream_specs = (P(TIME_AXIS), P(TIME_AXIS), P(TIME_AXIS))
+        in_specs = (P(TIME_AXIS),) if packed else (P(TIME_AXIS), P(TIME_AXIS))
+
+        @jax.jit
+        def step(*planes) -> Tuple[jax.Array, PdwBatch]:
+            mag, ph, sat = jax.shard_map(
+                chan_local, mesh=self.mesh,
+                in_specs=in_specs, out_specs=stream_specs,
+                check_vma=False,
+            )(*planes)
+            nf = medians.median(mag, axis=0)  # global per-band median
+            batch = jax.shard_map(
+                pdw_local, mesh=self.mesh,
+                in_specs=(P(TIME_AXIS), P(TIME_AXIS), P(TIME_AXIS), P(None)),
+                out_specs=batch_specs,
+                check_vma=False,
+            )(mag, ph, sat, nf)
+            return nf, batch
+
+        return step, t_loc
+
+    def step_fused(self, xr: jax.Array, xi: jax.Array, bit_width: int = 0,
+                   stats: str = "auto"):
+        """Run the fused sharded pipeline on float32 (or raw int16) sample
+        planes.  Returns (noise_floor, batch)."""
+        n = int(np.shape(xr)[-1])
+        key = ("fused", n, bit_width, stats)
+        if key not in self._cache:
+            self._cache[key] = self._build_fused(
+                n, packed=False, bit_width=bit_width, stats=stats
+            )
+        fn, _ = self._cache[key]
+        return fn(xr, xi)
+
+    def step_packed(self, xq: jax.Array, bit_width: int = 12,
+                    stats: str = "auto"):
+        """Run the fused sharded pipeline on the packed recorder payload
+        (``samples.view(int32)`` of an (N, 2) int16 buffer, or
+        ``view(int16)`` of int8).  Returns (noise_floor, batch)."""
+        n = int(np.shape(xq)[-1])
+        key = ("packed", n, bit_width, stats)
+        if key not in self._cache:
+            self._cache[key] = self._build_fused(
+                n, packed=True, bit_width=bit_width, stats=stats
+            )
+        fn, _ = self._cache[key]
+        return fn(xq)
+
+    def extract_fused(
+        self,
+        samples: np.ndarray,
+        bit_width: int,
+        fs: float,
+        fc: float = 0.0,
+        sample_start_time: float = 0.0,
+        stats: str = "auto",
+    ) -> dict:
+        """Raw (N, 2) payload -> host PDW dict through the fused sharded
+        graph (the multi-chip twin of
+        ``models.ChannelizerPipeline.extract_fused``)."""
+        samples = np.ascontiguousarray(samples)
+        if samples.dtype == np.int16:
+            _, batch = self.step_packed(
+                samples.view(np.int32).ravel(), bit_width=bit_width, stats=stats
+            )
+        elif samples.dtype == np.int8:
+            _, batch = self.step_packed(
+                samples.view(np.int16).ravel(), bit_width=bit_width, stats=stats
+            )
+        else:
+            xr = np.ascontiguousarray(samples[:, 0], np.float32)
+            xi = np.ascontiguousarray(samples[:, 1], np.float32)
+            _, batch = self.step_fused(xr, xi, bit_width=bit_width, stats=stats)
+        m = self.channelizer.num_bands
+        t_loc = int(np.shape(samples)[0]) // (self.n_time * m)
+        merged = merge_block_batches(batch, t_loc)
+        return pdwmod.finalize_pdws(
+            merged,
+            fs=fs / m,
+            fc=fc,
+            sample_start_time=sample_start_time,
+            bin_offsets_hz=self.channelizer.center_frequencies(fs),
+        )
 
     def step(self, x: jax.Array):
         """Run the sharded pipeline.  Returns (chan_iq, noise_floor, batch)
