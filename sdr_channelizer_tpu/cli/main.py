@@ -207,6 +207,27 @@ def cmd_pdw(args) -> int:
                                         max_pulse_samples=args.max_pulse_samples)
             if args.threshold_db is not None:
                 cfg = dataclasses.replace(cfg, snr_threshold_db=args.threshold_db)
+            if args.shards > 1:
+                # Multi-device extraction: fused per-shard kernels over a
+                # time-sharded mesh (parallel/pipeline.py).
+                from sdr_channelizer_tpu.dsp.channelizer import Channelizer
+                from sdr_channelizer_tpu.parallel import make_mesh
+                from sdr_channelizer_tpu.parallel.pipeline import ShardedPipeline
+
+                mesh = make_mesh(n_time=args.shards, n_chan=1)
+                spipe = ShardedPipeline(mesh, Channelizer.create(m), cfg)
+                n = len(iq) // (args.shards * m) * (args.shards * m)
+                planes = np.stack(
+                    [np.real(iq[:n]), np.imag(iq[:n])], -1).astype(np.float32)
+                pdws = spipe.extract_fused(planes, bit_width=0, fs=fs, fc=fc,
+                                           sample_start_time=t0)
+                all_pdws.append(pdws)
+                counters.add("files_processed")
+                counters.add("samples_ingested", n)
+                counters.add("pulses_emitted", len(pdws["toa"]))
+                print(f"{path}: {len(pdws['toa'])} pulses "
+                      f"({args.shards} shards)")
+                continue
             pipe = ChannelizerPipeline.create(m, pdw_cfg=cfg)
             n = len(iq) // m * m
             pdws = pipe.extract(jnp.asarray(iq[:n]), fs=fs, fc=fc, sample_start_time=t0)
@@ -464,6 +485,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--threshold-db", type=float, default=None)
     p.add_argument("--max-pulses", type=int, default=512)
     p.add_argument("--max-pulse-samples", type=int, default=4096)
+    p.add_argument("--shards", type=int, default=1,
+                   help="time-shard the extraction over this many devices "
+                        "(channelized only; fused per-shard kernels)")
     p.add_argument("--out", default=None)
     p.add_argument("--png", default=None)
     p.add_argument("--metrics", action="store_true",

@@ -89,6 +89,25 @@ def test_pdw_cmd_channelized(capture_file, tmp_path):
     assert np.all(np.abs(z["freq"][strong] - 2.3e6) < 0.5e6)
 
 
+def test_pdw_cmd_channelized_sharded(capture_file, tmp_path):
+    """--shards routes through the fused sharded pipeline and matches the
+    single-device channelized extraction."""
+    ref = tmp_path / "pdwc1.npz"
+    rc = main(["pdw", str(capture_file), "--channelized", "--bands", "8",
+               "--out", str(ref), "--max-pulse-samples", "128"])
+    assert rc == 0
+    out = tmp_path / "pdwc4.npz"
+    rc = main(["pdw", str(capture_file), "--channelized", "--bands", "8",
+               "--shards", "4", "--out", str(out), "--max-pulse-samples", "128"])
+    assert rc == 0
+    zr, zs = np.load(ref), np.load(out)
+    strong_r = zr["snr"] > 25
+    strong_s = zs["snr"] > 25
+    assert strong_s.sum() == strong_r.sum() > 0
+    np.testing.assert_allclose(np.sort(zs["toa"][strong_s]),
+                               np.sort(zr["toa"][strong_r]), rtol=0, atol=1e-12)
+
+
 def test_spectrogram_and_plot_cmds(capture_file, tmp_path):
     rc = main(["spectrogram", str(capture_file), "--out-dir", str(tmp_path),
                "--window", "256"])
