@@ -96,6 +96,18 @@ f_packed = jax.jit(lambda q: pallas_channelize_streams_packed(q, taps, bit_width
 _, dt = timeit("streams_packed", f_packed, xq)
 results["streams_packed_ms"] = dt * 1e3
 
+# Channel-major kernel variant (the headline path emits the transposed
+# detection streams straight from the channelizer pass).
+from sdr_channelizer_tpu.ops.pallas.channelizer_kernel import (
+    pallas_channelize_streams_packed_cm,
+)
+from sdr_channelizer_tpu.ops.pallas.transpose_kernel import pallas_cm_streams
+
+f_packed_cm = jax.jit(lambda q: pallas_channelize_streams_packed_cm(
+    q, taps, bit_width=12))
+out_cm, dt = timeit("streams_packed_cm", f_packed_cm, xq)
+results["streams_packed_cm_ms"] = dt * 1e3
+
 f_nf = jax.jit(lambda v: medians.median(v, axis=0))
 nf, dt = timeit("noise_floor", f_nf, mag)
 results["noise_floor_ms"] = dt * 1e3
@@ -216,6 +228,31 @@ kernels["channelize_streams_packed"] = {
     "toa_equal_vs_planes": toa_eq, "max_abs_err_mag_vs_planes": mag_err,
     "msps": round(N / results["streams_packed_ms"] * 1e3 / 1e6, 1),
 }
+
+# cm kernel parity vs the two-kernel composition (errors on-device; the
+# composition is the route the interpret-mode tests pin against the XLA
+# oracle, so equality here transfers that chain to Mosaic lowering).
+def cm_errs(q):
+    mg, p_, st = pallas_channelize_streams_packed(q, taps, bit_width=12)
+    ref_cm = pallas_cm_streams(mg, p_, st)
+    mg2, mcm, dcm, scm = pallas_channelize_streams_packed_cm(
+        q, taps, bit_width=12)
+    t_ = mg.shape[0]
+    errs = [jnp.max(jnp.abs(mg2 - mg))]
+    for got, ref in zip((mcm, dcm, scm), ref_cm):
+        errs.append(jnp.max(jnp.abs(got[:, :t_] - ref[:, :t_])))
+    return jnp.stack(errs)
+
+
+e_cm = jax.jit(cm_errs)(xq)
+sync((e_cm,))
+e_cm = [float(v) for v in np.asarray(e_cm)]
+kernels["channelize_streams_packed_cm"] = {
+    "max_abs_err_mag_tm": e_cm[0], "max_abs_err_mag_cm": e_cm[1],
+    "max_abs_err_dph_cm": e_cm[2], "max_abs_err_sat_cm": e_cm[3],
+    "msps": round(N / results["streams_packed_cm_ms"] * 1e3 / 1e6, 1),
+}
+log(f"cm kernel parity vs composition: {e_cm}")
 
 # latch kernel parity vs the XLA associative-scan cumsums (two independent
 # formulations; errors compared on-device, scalar fetch only)
