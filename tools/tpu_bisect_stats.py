@@ -143,7 +143,8 @@ def tiny_gathers(mag_cm, dph_cm, flat_toa, flat_te, chan_f, plen, m, t_len):
     return tiny_mag.reshape(m, P_SLOTS), tiny_dph.reshape(m, P_SLOTS)
 
 
-def part(sel, n_flat, flat_toa, flat_te, chan_f, t_len):
+def part_scatter(sel, n_flat, flat_toa, flat_te, chan_f, t_len):
+    """Round-1 compaction: cumsum rank + three scatters."""
     rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
     rank = jnp.where(sel, rank, n_flat)
     base = jnp.full((n_flat,), t_len, jnp.int32)
@@ -151,6 +152,21 @@ def part(sel, n_flat, flat_toa, flat_te, chan_f, t_len):
             base.at[rank].set(flat_te, mode="drop"),
             jnp.zeros((n_flat,), jnp.int32).at[rank].set(chan_f, mode="drop"),
             jnp.minimum(rank, n_flat - 1))
+
+
+def part(sel, n_flat, flat_toa, flat_te, chan_f, t_len):
+    """Current compaction (dsp/pdw.py): rank search + gathers, no scatters."""
+    cum = jnp.cumsum(sel.astype(jnp.float32))
+    ranks_f = jnp.arange(1, n_flat + 1, dtype=jnp.float32)
+    blk = 256 if n_flat % 512 else 512
+    pos = find_ranks_cm(cum[None, :], ranks_f[None, :], n_flat, block=blk)[0]
+    unfilled = pos >= n_flat
+    safe = jnp.minimum(pos, n_flat - 1)
+    rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
+    return (jnp.where(unfilled, t_len, flat_toa[safe]),
+            jnp.where(unfilled, t_len, flat_te[safe]),
+            jnp.where(unfilled, 0, chan_f[safe]),
+            jnp.minimum(jnp.where(sel, rank, n_flat), n_flat - 1))
 
 
 # --- prefixes ---
@@ -174,6 +190,18 @@ def q2(q):
     tm, td = tiny_gathers(mag_cm, dph_cm, ftoa, fte, chf, plen, m, t_len)
     toa_s, te_s, ch_s, rank_s = part(short, n_flat, ftoa, fte, chf, t_len)
     toa_l, te_l, ch_l, rank_l = part(longm, n_flat, ftoa, fte, chf, t_len)
+    return touch(nf, mag_cm, dph_cm, sat_cm, tm, td, toa_s, te_s, ch_s,
+                 rank_s, toa_l, te_l, ch_l, rank_l)
+
+
+def q2s(q):
+    """Alt prefix: the round-1 SCATTER compaction (marginal vs q1 = its
+    cost; compare with q2's gather-based marginal)."""
+    nf, toa, te, mag_cm, dph_cm, sat_cm, m, t_len = head(q)
+    (n_flat, ftoa, fte, chf, plen, tiny, short, longm) = tiers(toa, te, m, t_len)
+    tm, td = tiny_gathers(mag_cm, dph_cm, ftoa, fte, chf, plen, m, t_len)
+    toa_s, te_s, ch_s, rank_s = part_scatter(short, n_flat, ftoa, fte, chf, t_len)
+    toa_l, te_l, ch_l, rank_l = part_scatter(longm, n_flat, ftoa, fte, chf, t_len)
     return touch(nf, mag_cm, dph_cm, sat_cm, tm, td, toa_s, te_s, ch_s,
                  rank_s, toa_l, te_l, ch_l, rank_l)
 
@@ -229,6 +257,12 @@ for name, dt in zip(names, times):
     marg[name] = round((dt - prev) * 1e3, 2)
     log(f"{name:<24s} {marg[name]:9.2f} ms marginal")
     prev = dt
+
+# Scatter-compaction alternative, outside the chain (marginal vs q1).
+dt_s = timeit("q2s_scatter_compaction", jax.jit(q2s), xq)
+results["q2s_scatter_compaction_ms"] = round(dt_s * 1e3, 2)
+marg["q2s_scatter_compaction"] = round((dt_s - times[1]) * 1e3, 2)
+log(f"q2s_scatter_compaction   {marg['q2s_scatter_compaction']:9.2f} ms marginal")
 
 payload = {"shape": {"bands": BANDS, "frames": FRAMES},
            "prefix_ms": results, "marginal_ms": marg}
