@@ -54,3 +54,31 @@ def find_ranks_cm(
     part = jax.vmap(jax.vmap(take_block, in_axes=(None, 0)))(cb, idx)
     cnt = jnp.sum(part < ranks[:, :, None], axis=2).astype(jnp.int32)
     return jnp.minimum(idx * block + cnt, t_len)
+
+
+def take_at_cm(
+    vals_cm: jax.Array,  # (M, T) f32 (T % block == 0)
+    chan: jax.Array,     # (P,) i32
+    idx: jax.Array,      # (P,) i32 in-range sample indices
+    block: int = 128,
+) -> jax.Array:
+    """``vals_cm[chan, idx]`` per query without elementwise gathers.
+
+    Each query reads its one contiguous ``block``-f32 slice
+    (``dynamic_index_in_dim`` — the same sliced-gather primitive
+    :func:`find_ranks_cm` uses) and picks its lane with a dense one-hot
+    compare + reduce, so nothing lowers to per-element scalar-core
+    gathers.  Same values as the elementwise formulation.
+    """
+    m, t = vals_cm.shape
+    assert t % block == 0, (t, block)
+    vb = vals_cm.reshape(m * (t // block), block)
+    flat_blk = chan * (t // block) + idx // block
+
+    def take_block(i):  # () -> (block,)
+        return jax.lax.dynamic_index_in_dim(vb, i, 0, keepdims=False)
+
+    rows = jax.vmap(take_block)(flat_blk)                    # (P, block)
+    within = (idx - (idx // block) * block)[:, None]
+    onehot = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1) == within
+    return jnp.sum(jnp.where(onehot, rows, 0.0), axis=1)

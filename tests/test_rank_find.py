@@ -41,6 +41,22 @@ def test_matches_searchsorted(seed, m, t_len, r, block):
     np.testing.assert_array_equal(got, _ref(cum, ranks, t_len))
 
 
+@pytest.mark.parametrize("seed,m,t_len,p,block", [
+    (0, 4, 4096, 500, 128),
+    (1, 3, 1024, 257, 256),
+])
+def test_take_at_cm_matches_elementwise(seed, m, t_len, p, block):
+    from sdr_channelizer_tpu.ops.rank_find import take_at_cm
+
+    rng = np.random.default_rng(seed)
+    vals = rng.standard_normal((m, t_len)).astype(np.float32)
+    chan = rng.integers(0, m, p).astype(np.int32)
+    idx = rng.integers(0, t_len, p).astype(np.int32)
+    got = np.asarray(take_at_cm(jnp.asarray(vals), jnp.asarray(chan),
+                                jnp.asarray(idx), block=block))
+    np.testing.assert_array_equal(got, vals[chan, idx])
+
+
 def test_padded_tail_and_edge_cases():
     """Cumsum columns past t_len (the latch kernel's pad) must not push
     positions past the t_len sentinel; all-zero and step-at-0 columns hit

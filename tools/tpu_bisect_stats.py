@@ -143,6 +143,22 @@ def tiny_gathers(mag_cm, dph_cm, flat_toa, flat_te, chan_f, plen, m, t_len):
     return tiny_mag.reshape(m, P_SLOTS), tiny_dph.reshape(m, P_SLOTS)
 
 
+def tiny_gathers_blocked(mag_cm, dph_cm, flat_toa, flat_te, chan_f, plen,
+                         m, t_len):
+    """Alt tiny tier: block-slice + one-hot picks (ops.rank_find.take_at_cm)
+    instead of elementwise gathers."""
+    from sdr_channelizer_tpu.ops.rank_find import take_at_cm
+
+    safe_toa = jnp.minimum(flat_toa, t_len - 1)
+    safe_te = jnp.minimum(flat_te, t_len - 1)
+    mag_a = take_at_cm(mag_cm, chan_f, safe_toa)
+    mag_b = take_at_cm(mag_cm, chan_f, safe_te)
+    dph_a = take_at_cm(dph_cm, chan_f, safe_toa)
+    tiny_mag = jnp.where(plen >= 2, 0.5 * (mag_a + mag_b), mag_a)
+    tiny_dph = jnp.where(plen >= 2, dph_a, jnp.float32(np.nan))
+    return tiny_mag.reshape(m, P_SLOTS), tiny_dph.reshape(m, P_SLOTS)
+
+
 def part_scatter(sel, n_flat, flat_toa, flat_te, chan_f, t_len):
     """Round-1 compaction: cumsum rank + three scatters."""
     rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
@@ -263,6 +279,21 @@ dt_s = timeit("q2s_scatter_compaction", jax.jit(q2s), xq)
 results["q2s_scatter_compaction_ms"] = round(dt_s * 1e3, 2)
 marg["q2s_scatter_compaction"] = round((dt_s - times[1]) * 1e3, 2)
 log(f"q2s_scatter_compaction   {marg['q2s_scatter_compaction']:9.2f} ms marginal")
+
+
+# Blocked tiny-gather alternative, outside the chain (marginal vs q0).
+def q1g(q):
+    nf, toa, te, mag_cm, dph_cm, sat_cm, m, t_len = head(q)
+    (n_flat, ftoa, fte, chf, plen, tiny, short, longm) = tiers(toa, te, m, t_len)
+    tm, td = tiny_gathers_blocked(mag_cm, dph_cm, ftoa, fte, chf, plen, m, t_len)
+    return touch(nf, toa, te, mag_cm, dph_cm, sat_cm, tm, td,
+                 tiny.astype(jnp.float32))
+
+
+dt_g = timeit("q1g_blocked_tiny", jax.jit(q1g), xq)
+results["q1g_blocked_tiny_ms"] = round(dt_g * 1e3, 2)
+marg["q1g_blocked_tiny"] = round((dt_g - times[0]) * 1e3, 2)
+log(f"q1g_blocked_tiny         {marg['q1g_blocked_tiny']:9.2f} ms marginal")
 
 payload = {"shape": {"bands": BANDS, "frames": FRAMES},
            "prefix_ms": results, "marginal_ms": marg}
