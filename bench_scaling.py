@@ -55,6 +55,8 @@ def main() -> None:
                          "ingest — the multi-chip form of the bench.py "
                          "headline).  Requires chan-split 1.")
     args = ap.parse_args()
+    if args.fused and args.chan_split != 1:
+        ap.error("--fused shards time only; use --chan-split 1")
 
     import os
 
@@ -96,8 +98,6 @@ def main() -> None:
         x = (0.001 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
              ).astype(np.complex64)
         if args.fused:
-            if n_chan != 1:
-                raise SystemExit("--fused shards time only (chan-split 1)")
             i16 = np.clip(np.round(np.stack([x.real, x.imag], -1) * 2048),
                           -2048, 2047).astype(np.int16)
             xq = i16.view(np.int32).ravel()

@@ -194,6 +194,11 @@ def cmd_pdw(args) -> int:
     from sdr_channelizer_tpu.models import ChannelizerPipeline, WidebandPdwPipeline
     from sdr_channelizer_tpu.utils.metrics import Counters
 
+    if args.shards > 1 and not args.channelized:
+        print("pdw: --shards requires --channelized (wideband sharding: use "
+              "parallel.sharded_extract_pdws)", file=sys.stderr)
+        return 2
+
     counters = Counters()
     all_pdws = []
     for path in args.files:

@@ -627,21 +627,34 @@ def _extract_channelized_pallas_stats(
             # edge extraction cost ~10x the rank search, tools/tpu_bisect).
             # pos[r] = index of the (r+1)-th selected slot via the dense
             # two-level rank search over the selection cumsum, then three
-            # gathers; exact below 2^24 flat slots.
+            # gathers; exact below 2^24 flat slots.  The search is
+            # O(n_flat^2 / block) compare work — past 64Ki flat slots
+            # (rare: bands * padded max_pulses) the linear scatter wins.
+            if n_flat > (1 << 16):
+                r_sc = jnp.cumsum(sel.astype(jnp.int32)) - 1
+                r_sc = jnp.where(sel, r_sc, n_flat)
+                base = jnp.full((n_flat,), t_len, jnp.int32)
+                return (base.at[r_sc].set(flat_toa, mode="drop"),
+                        base.at[r_sc].set(flat_te, mode="drop"),
+                        jnp.zeros((n_flat,), jnp.int32).at[r_sc].set(
+                            chan_f, mode="drop"),
+                        jnp.minimum(r_sc, n_flat - 1))
             from sdr_channelizer_tpu.ops.rank_find import find_ranks_cm
 
-            cum = jnp.cumsum(sel.astype(jnp.float32))
+            cum = jnp.cumsum(sel.astype(jnp.float32))  # exact: n_flat <= 2^16
+            rank = jnp.minimum(
+                jnp.where(sel, cum.astype(jnp.int32) - 1, n_flat), n_flat - 1
+            )
             ranks_f = jnp.arange(1, n_flat + 1, dtype=jnp.float32)
             blk = 256 if n_flat % 512 else 512  # p_slots is TILE-padded
             pos = find_ranks_cm(cum[None, :], ranks_f[None, :], n_flat,
                                 block=blk)[0]
             unfilled = pos >= n_flat
             safe = jnp.minimum(pos, n_flat - 1)
-            rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
             return (jnp.where(unfilled, t_len, flat_toa[safe]),
                     jnp.where(unfilled, t_len, flat_te[safe]),
                     jnp.where(unfilled, 0, chan_f[safe]),
-                    jnp.minimum(jnp.where(sel, rank, n_flat), n_flat - 1))
+                    rank)
 
         toa_s, te_s, ch_s, rank_s = part(is_short)
         toa_l, te_l, ch_l, rank_l = part(is_long)

@@ -444,6 +444,14 @@ class ShardedPipeline:
                 f"{n_time} time shards of whole {m}-sample frames"
             )
         t_loc = n_samples // (n_time * m)
+        p = self.channelizer.taps_rev.shape[0]
+        if t_loc < p - 1:
+            raise ValueError(
+                f"fused sharded pipeline needs at least P-1 = {p - 1} frames "
+                f"per shard for the FIR history handoff; got {t_loc} "
+                f"({n_samples} samples over {n_time} shards of {m}-sample "
+                f"frames) — use fewer time shards"
+            )
         halo = _cap_halo(self.halo_frames or self.pdw_cfg.max_pulse_samples, t_loc)
 
         if stats == "auto":
@@ -537,9 +545,15 @@ class ShardedPipeline:
             xr = np.ascontiguousarray(samples[:, 0], np.float32)
             xi = np.ascontiguousarray(samples[:, 1], np.float32)
             _, batch = self.step_fused(xr, xi, bit_width=bit_width, stats=stats)
+        t_loc = int(np.shape(samples)[0]) // (self.n_time * self.channelizer.num_bands)
+        return self._finalize_merged(batch, t_loc, fs, fc, sample_start_time)
+
+    def _finalize_merged(self, batch: PdwBatch, block_len_frames: int,
+                         fs: float, fc: float, sample_start_time: float) -> dict:
+        """Merge a block-stacked batch and finalize to the host PDW dict
+        (decimated rate, absolute times/frequencies)."""
+        merged = merge_block_batches(batch, block_len_frames)
         m = self.channelizer.num_bands
-        t_loc = int(np.shape(samples)[0]) // (self.n_time * m)
-        merged = merge_block_batches(batch, t_loc)
         return pdwmod.finalize_pdws(
             merged,
             fs=fs / m,
@@ -584,15 +598,7 @@ class ShardedPipeline:
             self._cache[key] = self._build_planes(n)
         fn, t_loc = self._cache[key]
         _, _, _, batch = fn(xr, xi)
-        merged = merge_block_batches(batch, t_loc)
-        m = self.channelizer.num_bands
-        return pdwmod.finalize_pdws(
-            merged,
-            fs=fs / m,
-            fc=fc,
-            sample_start_time=sample_start_time,
-            bin_offsets_hz=self.channelizer.center_frequencies(fs),
-        )
+        return self._finalize_merged(batch, t_loc, fs, fc, sample_start_time)
 
     def extract(
         self,
@@ -608,15 +614,7 @@ class ShardedPipeline:
             self._cache[n] = self._build(n)
         fn, t_loc = self._cache[n]
         _, _, batch = fn(x)
-        merged = merge_block_batches(batch, t_loc)
-        m = self.channelizer.num_bands
-        return pdwmod.finalize_pdws(
-            merged,
-            fs=fs / m,
-            fc=fc,
-            sample_start_time=sample_start_time,
-            bin_offsets_hz=self.channelizer.center_frequencies(fs),
-        )
+        return self._finalize_merged(batch, t_loc, fs, fc, sample_start_time)
 
 
 def merge_block_batches(batch: PdwBatch, block_len_frames: int) -> PdwBatch:

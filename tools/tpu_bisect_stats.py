@@ -173,16 +173,17 @@ def part_scatter(sel, n_flat, flat_toa, flat_te, chan_f, t_len):
 def part(sel, n_flat, flat_toa, flat_te, chan_f, t_len):
     """Current compaction (dsp/pdw.py): rank search + gathers, no scatters."""
     cum = jnp.cumsum(sel.astype(jnp.float32))
+    rank = jnp.minimum(
+        jnp.where(sel, cum.astype(jnp.int32) - 1, n_flat), n_flat - 1)
     ranks_f = jnp.arange(1, n_flat + 1, dtype=jnp.float32)
     blk = 256 if n_flat % 512 else 512
     pos = find_ranks_cm(cum[None, :], ranks_f[None, :], n_flat, block=blk)[0]
     unfilled = pos >= n_flat
     safe = jnp.minimum(pos, n_flat - 1)
-    rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
     return (jnp.where(unfilled, t_len, flat_toa[safe]),
             jnp.where(unfilled, t_len, flat_te[safe]),
             jnp.where(unfilled, 0, chan_f[safe]),
-            jnp.minimum(jnp.where(sel, rank, n_flat), n_flat - 1))
+            rank)
 
 
 # --- prefixes ---
