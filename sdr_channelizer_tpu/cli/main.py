@@ -194,11 +194,6 @@ def cmd_pdw(args) -> int:
     from sdr_channelizer_tpu.models import ChannelizerPipeline, WidebandPdwPipeline
     from sdr_channelizer_tpu.utils.metrics import Counters
 
-    if args.shards > 1 and not args.channelized:
-        print("pdw: --shards requires --channelized (wideband sharding: use "
-              "parallel.sharded_extract_pdws)", file=sys.stderr)
-        return 2
-
     counters = Counters()
     all_pdws = []
     for path in args.files:
@@ -241,8 +236,24 @@ def cmd_pdw(args) -> int:
                                      max_pulse_samples=args.max_pulse_samples)
             if args.threshold_db is not None:
                 cfg = dataclasses.replace(cfg, snr_threshold_db=args.threshold_db)
-            pipe = WidebandPdwPipeline(pdw_cfg=cfg)
-            pdws = pipe.extract(jnp.asarray(iq), fs=fs, fc=fc, sample_start_time=t0)
+            if args.shards > 1:
+                from sdr_channelizer_tpu.dsp.pdw import finalize_pdws
+                from sdr_channelizer_tpu.parallel import make_mesh
+                from sdr_channelizer_tpu.parallel.pipeline import (
+                    merge_block_batches,
+                    sharded_extract_pdws,
+                )
+
+                mesh = make_mesh(n_time=args.shards, n_chan=1)
+                n = len(iq) // args.shards * args.shards
+                batch, block_len = sharded_extract_pdws(
+                    jnp.asarray(iq[:n]), cfg, mesh)
+                merged = merge_block_batches(batch, block_len)
+                pdws = finalize_pdws(merged, fs=fs, fc=fc, sample_start_time=t0)
+            else:
+                pipe = WidebandPdwPipeline(pdw_cfg=cfg)
+                pdws = pipe.extract(jnp.asarray(iq), fs=fs, fc=fc,
+                                    sample_start_time=t0)
         all_pdws.append(pdws)
         counters.add("files_processed")
         counters.add("samples_ingested", len(iq))
@@ -492,7 +503,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--max-pulse-samples", type=int, default=4096)
     p.add_argument("--shards", type=int, default=1,
                    help="time-shard the extraction over this many devices "
-                        "(channelized only; fused per-shard kernels)")
+                        "(channelized: fused per-shard kernels; wideband: "
+                        "sharded latch chaining)")
     p.add_argument("--out", default=None)
     p.add_argument("--png", default=None)
     p.add_argument("--metrics", action="store_true",

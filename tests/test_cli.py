@@ -108,6 +108,21 @@ def test_pdw_cmd_channelized_sharded(capture_file, tmp_path):
                                np.sort(zr["toa"][strong_r]), rtol=0, atol=1e-12)
 
 
+def test_pdw_cmd_wideband_sharded(capture_file, tmp_path):
+    ref = tmp_path / "pw1.npz"
+    out = tmp_path / "pw4.npz"
+    rc = main(["pdw", str(capture_file), "--out", str(ref),
+               "--max-pulse-samples", "1024"])
+    assert rc == 0
+    rc = main(["pdw", str(capture_file), "--shards", "4", "--out", str(out),
+               "--max-pulse-samples", "1024"])
+    assert rc == 0
+    zr, zs = np.load(ref), np.load(out)
+    assert len(zs["toa"]) == len(zr["toa"]) > 0
+    for k in ("toa", "pw", "mag", "sat"):
+        np.testing.assert_array_equal(zs[k], zr[k], err_msg=k)
+
+
 def test_spectrogram_and_plot_cmds(capture_file, tmp_path):
     rc = main(["spectrogram", str(capture_file), "--out-dir", str(tmp_path),
                "--window", "256"])
