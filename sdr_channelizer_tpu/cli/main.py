@@ -187,6 +187,7 @@ def cmd_channelize(args) -> int:
 
 def cmd_pdw(args) -> int:
     """create_pdws.m / create_pdws_channelized.m parity."""
+    import jax
     import jax.numpy as jnp
 
     from sdr_channelizer_tpu.config import PdwConfig
@@ -207,6 +208,14 @@ def cmd_pdw(args) -> int:
                                         max_pulse_samples=args.max_pulse_samples)
             if args.threshold_db is not None:
                 cfg = dataclasses.replace(cfg, snr_threshold_db=args.threshold_db)
+            # Integer-payload containers feed the packed-ingest fused
+            # kernels (on-disk bytes to the device, in-kernel dequant);
+            # float containers go as f32 planes through the same path.
+            from sdr_channelizer_tpu.io.convert import load_capture_raw
+
+            raw, bw, _ = load_capture_raw(path)
+            if raw is None:
+                bw = 0
             if args.shards > 1:
                 # Multi-device extraction: fused per-shard kernels over a
                 # time-sharded mesh (parallel/pipeline.py).
@@ -217,9 +226,9 @@ def cmd_pdw(args) -> int:
                 mesh = make_mesh(n_time=args.shards, n_chan=1)
                 spipe = ShardedPipeline(mesh, Channelizer.create(m), cfg)
                 n = len(iq) // (args.shards * m) * (args.shards * m)
-                planes = np.stack(
+                samples = raw[:n] if raw is not None else np.stack(
                     [np.real(iq[:n]), np.imag(iq[:n])], -1).astype(np.float32)
-                pdws = spipe.extract_fused(planes, bit_width=0, fs=fs, fc=fc,
+                pdws = spipe.extract_fused(samples, bit_width=bw, fs=fs, fc=fc,
                                            sample_start_time=t0)
                 all_pdws.append(pdws)
                 counters.add("files_processed")
@@ -230,7 +239,19 @@ def cmd_pdw(args) -> int:
                 continue
             pipe = ChannelizerPipeline.create(m, pdw_cfg=cfg)
             n = len(iq) // m * m
-            pdws = pipe.extract(jnp.asarray(iq[:n]), fs=fs, fc=fc, sample_start_time=t0)
+            try:
+                platform = jax.devices()[0].platform
+            except RuntimeError:
+                platform = "cpu"
+            if raw is not None and platform != "cpu":
+                # The single-chip headline path (bench.py): packed ingest,
+                # fused Pallas kernels.  On CPU the interpret-mode kernels
+                # are slower than the XLA oracle path — keep extract().
+                pdws = pipe.extract_fused(raw[:n], bit_width=bw, fs=fs,
+                                          fc=fc, sample_start_time=t0)
+            else:
+                pdws = pipe.extract(jnp.asarray(iq[:n]), fs=fs, fc=fc,
+                                    sample_start_time=t0)
         else:
             cfg = PdwConfig.wideband(max_pulses=args.max_pulses,
                                      max_pulse_samples=args.max_pulse_samples)

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -124,3 +124,26 @@ def load_capture(path) -> Tuple[np.ndarray, dict]:
         return iq, {"fs": fs, "fc": fc, "index": idx, "bitWidth": 32,
                     "sampleStartTime": 0.0}
     raise ValueError(f"unsupported capture container: {p}")
+
+
+def load_capture_raw(path) -> Tuple[Optional[np.ndarray], int, Optional[dict]]:
+    """Like :func:`load_capture` but returns the raw integer payload when
+    the container has one: ``(samples (N, 2) int8/int16, bit_width,
+    metadata)``, or ``(None, 0, None)`` for float containers.
+
+    The raw payload feeds the packed-ingest fused pipeline
+    (``models.ChannelizerPipeline.extract_fused``) — the on-disk bytes go
+    to the device untouched and the dequant happens in-kernel, which
+    halves/quarters the host->device traffic of the complex path.
+    """
+    p = os.fspath(path)
+    if p.endswith(".iq"):
+        hdr, samples = iqpacket.read_iq(p)
+        return np.asarray(samples), hdr.bit_width, header_vars(hdr)
+    if p.endswith(".npz"):
+        z = np.load(p, allow_pickle=False)
+        if "iq_raw" in z.files:
+            meta = {k: z[k].item() if z[k].ndim == 0 else z[k]
+                    for k in z.files if k not in ("iq", "iq_raw")}
+            return np.asarray(z["iq_raw"]), int(meta["bitWidth"]), meta
+    return None, 0, None

@@ -43,6 +43,30 @@ def test_convert_npz_and_mat(capture_file, tmp_path):
     assert float(m["fs"].squeeze()) == 8e6
 
 
+def test_load_capture_raw(capture_file, tmp_path):
+    """Integer containers expose the raw payload (the packed-ingest path);
+    float containers return None."""
+    from sdr_channelizer_tpu.io import iqpacket
+    from sdr_channelizer_tpu.io.convert import iq_to_npz, load_capture_raw
+
+    raw, bw, meta = load_capture_raw(capture_file)
+    assert raw is not None and bw == 16 and raw.dtype == np.int16
+    hdr, samples = iqpacket.read_iq(capture_file)
+    np.testing.assert_array_equal(raw, np.asarray(samples))
+    assert meta["fs"] == hdr.sample_rate_sps
+
+    npz_raw = tmp_path / "raw.npz"
+    iq_to_npz(capture_file, npz_raw, normalize=False)
+    raw2, bw2, _ = load_capture_raw(npz_raw)
+    np.testing.assert_array_equal(raw2, raw)
+    assert bw2 == 16
+
+    npz_cplx = tmp_path / "cplx.npz"
+    iq_to_npz(capture_file, npz_cplx, normalize=True)
+    raw3, bw3, meta3 = load_capture_raw(npz_cplx)
+    assert raw3 is None and bw3 == 0 and meta3 is None
+
+
 def test_convert_legacy_bin(tmp_path):
     iq = (np.arange(20, dtype=np.float32) / 10.0).view(np.float32)
     p = tmp_path / "8M_1000_MHz_1.bin"
