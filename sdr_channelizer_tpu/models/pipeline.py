@@ -226,9 +226,11 @@ class ChannelizerPipeline:
         """Capture -> host PDW dict (absolute TOAs in epoch seconds, absolute
         frequencies with per-bin offsets).
 
-        On non-CPU backends this routes through the complex-free planes
-        graph (some TPU transports cannot lower complex matmuls or transfer
-        complex results); on CPU it uses the complex FFT oracle path.
+        On non-CPU backends this routes through the fused complex-free
+        pipeline (f32 sample planes into the Pallas channelize-streams
+        kernel — some TPU transports cannot lower complex matmuls or
+        transfer complex results, and the fused kernel reads the capture
+        from HBM once); on CPU it uses the complex FFT oracle path.
         Results are identical up to 1-ulp scalar rounding.
         """
         try:
@@ -236,8 +238,12 @@ class ChannelizerPipeline:
         except RuntimeError:
             platform = "cpu"
         if platform != "cpu":
-            return self.extract_planes(
-                np.asarray(x), fs=fs, fc=fc, sample_start_time=sample_start_time
+            iq = np.asarray(x)
+            samples = np.stack(
+                [np.real(iq), np.imag(iq)], -1).astype(np.float32)
+            return self.extract_fused(
+                samples, bit_width=0, fs=fs, fc=fc,
+                sample_start_time=sample_start_time,
             )
         _, _, batch = self.step(x)
         m = self.channelizer.num_bands
