@@ -149,18 +149,38 @@ def _bands_for(args, fs: float) -> int:
 
 def cmd_channelize(args) -> int:
     """channelizer_example.m parity: channelize and render the waterfall."""
+    import jax
     import jax.numpy as jnp
 
-    from sdr_channelizer_tpu.dsp.channelizer import Channelizer, channelize
+    from sdr_channelizer_tpu.dsp.channelizer import (
+        Channelizer,
+        channelize,
+        channelize_planes,
+    )
     from sdr_channelizer_tpu.io.convert import load_capture
 
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        platform = "cpu"
     for path in args.files:
         iq, meta = load_capture(path)
         fs = float(meta["fs"])
         m = _bands_for(args, fs)
         chan = Channelizer.create(m, taps_per_band=args.taps_per_band)
         n = len(iq) // m * m
-        y = np.asarray(channelize(jnp.asarray(iq[:n]), chan))
+        if platform != "cpu":
+            # Complex device-to-host copies are unimplemented on some TPU
+            # transports: run the complex-free planes graph and assemble
+            # the complex spectra on the host.
+            yr, yi = channelize_planes(
+                jnp.asarray(np.ascontiguousarray(np.real(iq[:n]), np.float32)),
+                jnp.asarray(np.ascontiguousarray(np.imag(iq[:n]), np.float32)),
+                chan,
+            )
+            y = np.asarray(yr) + 1j * np.asarray(yi)
+        else:
+            y = np.asarray(channelize(jnp.asarray(iq[:n]), chan))
         if args.out or len(args.files) == 1:
             out = args.out or _out_path(path, args.out_dir, "_chan.npz")
             np.savez(out, chan_iq=y, fs=fs / m,

@@ -255,7 +255,9 @@ class StreamingExtractor:
         hist_hi = None
         n_total = 0
         for y in self._channelized_blocks(make_sample_blocks()):
-            keys = _sortable_u32_np(np.abs(np.asarray(y)))  # (T, M)
+            # |y| on device, f32 fetch (complex d2h is unimplemented on
+            # some TPU transports).
+            keys = _sortable_u32_np(np.asarray(jnp.abs(y)))  # (T, M)
             m = keys.shape[1]
             if hist_hi is None:
                 hist_hi = np.zeros((m, bins), np.int64)
@@ -282,7 +284,7 @@ class StreamingExtractor:
 
         hist_lo = np.zeros((len(need), bins), np.int64)
         for y in self._channelized_blocks(make_sample_blocks()):
-            keys = _sortable_u32_np(np.abs(np.asarray(y)))
+            keys = _sortable_u32_np(np.asarray(jnp.abs(y)))
             for (c, b), row in need.items():
                 col = keys[:, c]
                 sel = col[(col >> np.uint32(16)) == b]
