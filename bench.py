@@ -100,9 +100,17 @@ def main() -> None:
         base += ["--planes"] if args.planes else []
         # The TPU tunnel stays wedged for minutes after any failed run
         # (its own or another process's) — retry with backoff before
-        # falling back to a labeled CPU measurement.
+        # falling back to a labeled CPU measurement.  The fallback runs a
+        # reduced capture: the interpret-mode Pallas kernels do ~0.1 Msps
+        # on this host (full size would take ~1.5 h), and the JSON's
+        # "device": "cpu" already marks the number as a liveness signal,
+        # not a perf claim.
+        cpu_cmd = [sys.executable, os.path.abspath(__file__), "--inner",
+                   "--bands", str(args.bands),
+                   "--frames", str(min(args.frames, 8192)), "--iters", "2",
+                   "--cpu"]
         attempts = ([(base, 1500), (base, 1200)] if not args.cpu else [])
-        attempts.append((base + ["--cpu"], 1800))
+        attempts.append((cpu_cmd, 1800))
         for k, (cmd, tmo) in enumerate(attempts):
             try:
                 res = subprocess.run(cmd, timeout=tmo, stdout=subprocess.PIPE)
