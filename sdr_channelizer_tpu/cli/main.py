@@ -217,7 +217,51 @@ def cmd_pdw(args) -> int:
 
     counters = Counters()
     all_pdws = []
-    for path in args.files:
+    if args.stream:
+        # Blockwise streaming extraction over contiguous multi-file capture
+        # segments (dsp/streaming.py): O(block) memory, exact two-pass
+        # noise floor, optional checkpoint/resume — the path for capture
+        # series and files too large for one device buffer.
+        from sdr_channelizer_tpu.dsp.channelizer import Channelizer
+        from sdr_channelizer_tpu.dsp.streaming import (
+            CaptureSet,
+            StreamingExtractor,
+        )
+
+        cset = CaptureSet.from_paths([os.fspath(p) for p in args.files])
+        for si, seg in enumerate(cset.segments):
+            hdr = seg.headers[0]
+            fs = hdr.sample_rate_sps
+            if args.channelized:
+                m = _bands_for(args, fs)
+                cfg = PdwConfig.channelized(
+                    max_pulses=args.max_pulses,
+                    max_pulse_samples=args.max_pulse_samples)
+                chan = Channelizer.create(m)
+            else:
+                cfg = PdwConfig.wideband(
+                    max_pulses=args.max_pulses,
+                    max_pulse_samples=args.max_pulse_samples)
+                chan = None
+            if args.threshold_db is not None:
+                cfg = dataclasses.replace(cfg, snr_threshold_db=args.threshold_db)
+            ext = StreamingExtractor(channelizer=chan, pdw_cfg=cfg,
+                                     block_frames=args.block_frames,
+                                     counters=counters)
+            ck = (os.path.join(args.checkpoint_dir, f"seg{si:03d}")
+                  if args.checkpoint_dir else None)
+            pdws = ext.extract_segment(seg, fc=hdr.frequency_hz,
+                                       checkpoint_dir=ck)
+            all_pdws.append(pdws)
+            print(f"segment {si} ({len(seg.paths)} files, "
+                  f"{seg.num_samples} samples): {len(pdws['toa'])} pulses")
+        counters.add("files_processed", len(args.files))
+        counters.add("pulses_emitted",
+                     sum(len(p["toa"]) for p in all_pdws))
+        args_files = ()  # the per-file loop below is skipped
+    else:
+        args_files = args.files
+    for path in args_files:
         iq, meta = load_capture(path)
         fs = float(meta["fs"])
         fc = float(meta.get("fc", 0.0))
@@ -546,6 +590,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="time-shard the extraction over this many devices "
                         "(channelized: fused per-shard kernels; wideband: "
                         "sharded latch chaining)")
+    p.add_argument("--stream", action="store_true",
+                   help="blockwise streaming extraction over contiguous "
+                        "multi-file segments (O(block) memory, exact "
+                        "two-pass noise floor)")
+    p.add_argument("--block-frames", type=int, default=65536,
+                   help="frames per streaming block (--stream)")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="per-block checkpoint/resume directory (--stream)")
     p.add_argument("--out", default=None)
     p.add_argument("--png", default=None)
     p.add_argument("--metrics", action="store_true",

@@ -147,6 +147,57 @@ def test_pdw_cmd_wideband_sharded(capture_file, tmp_path):
         np.testing.assert_array_equal(zs[k], zr[k], err_msg=k)
 
 
+def test_pdw_cmd_stream(tmp_path):
+    """--stream groups contiguous dwell files into one segment, extracts
+    blockwise with checkpoints, and matches the single-shot extraction of
+    the concatenated capture."""
+    from sdr_channelizer_tpu.io import iqpacket, read_iq, to_complex
+
+    rc = main(["generate", "--out-dir", str(tmp_path / "caps"), "--seed", "5",
+               "--fs-msps", "8", "--duration-sec", "0.004",
+               "--freq-mhz", "2.3", "--pw-us", "100", "--pri-us", "500",
+               "--noise-std", "0.003"])
+    assert rc == 0
+    (src,) = (tmp_path / "caps").glob("*.iq")
+    hdr, samples = read_iq(src)
+    samples = np.asarray(samples)
+    # Split into two contiguous dwell files (continuous sampleStartTime).
+    half = hdr.num_samples // 2
+    d = tmp_path / "dwells"
+    d.mkdir()
+    for k, sl in enumerate((slice(0, half), slice(half, None))):
+        h2 = iqpacket.IqHeader(**{**hdr.__dict__,
+                                  "num_samples": len(samples[sl]),
+                                  "sample_start_time": hdr.sample_start_time
+                                  + sl.indices(hdr.num_samples)[0]
+                                  / hdr.sample_rate_sps})
+        iqpacket.write_iq(d / f"dwell{k}.iq", h2, samples[sl])
+
+    ref = tmp_path / "ref.npz"
+    rc = main(["pdw", str(src), "--out", str(ref),
+               "--max-pulse-samples", "1024"])
+    assert rc == 0
+    out = tmp_path / "stream.npz"
+    ck = tmp_path / "ck"
+    rc = main(["pdw", str(d / "dwell0.iq"), str(d / "dwell1.iq"), "--stream",
+               "--block-frames", "8192", "--checkpoint-dir", str(ck),
+               "--out", str(out), "--max-pulse-samples", "1024"])
+    assert rc == 0
+    assert list(ck.glob("seg000/block_*.npz"))  # checkpoints written
+    zr, zs = np.load(ref), np.load(out)
+    assert len(zs["toa"]) == len(zr["toa"]) > 0
+    for k in ("toa", "pw", "mag", "sat"):
+        np.testing.assert_allclose(zs[k], zr[k], rtol=0, atol=1e-12, err_msg=k)
+    # Resume from the existing checkpoints (second run reuses them).
+    out2 = tmp_path / "stream2.npz"
+    rc = main(["pdw", str(d / "dwell0.iq"), str(d / "dwell1.iq"), "--stream",
+               "--block-frames", "8192", "--checkpoint-dir", str(ck),
+               "--out", str(out2), "--max-pulse-samples", "1024"])
+    assert rc == 0
+    z2 = np.load(out2)
+    np.testing.assert_array_equal(z2["toa"], zs["toa"])
+
+
 def test_spectrogram_and_plot_cmds(capture_file, tmp_path):
     rc = main(["spectrogram", str(capture_file), "--out-dir", str(tmp_path),
                "--window", "256"])
