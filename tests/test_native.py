@@ -24,7 +24,9 @@ BUILD = os.path.join(NATIVE_DIR, "build")
 def built():
     if shutil.which("make") is None or shutil.which("g++") is None:
         pytest.skip("no native toolchain")
-    subprocess.run(["make", "-C", NATIVE_DIR], check=True, capture_output=True)
+    from conftest import build_native
+
+    build_native()
     assert native.available()
 
 

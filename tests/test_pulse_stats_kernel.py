@@ -214,15 +214,15 @@ def test_wideband_blocked_matches_single_shot():
     from sdr_channelizer_tpu.ops import medians
 
     rng = np.random.default_rng(11)
-    blk = 1 << 18
-    n = 2 * blk + 50_000
+    blk = 1 << 16
+    n = 2 * blk + 30_000
     iq = (1e-3 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
           ).astype(np.complex64)
     tone = np.exp(2j * np.pi * 0.137 * np.arange(400)).astype(np.complex64)
     # Pulses straddling both block boundaries, plus a sparse train
     # (train starts that would merge with a boundary pulse are dropped).
     starts = [500, blk - 200, 2 * blk - 137, n - 20_000]
-    starts += [s for s in range(50_000, n - 500, 59_009)
+    starts += [s for s in range(30_000, n - 500, 23_009)
                if all(abs(s - b) > 500 for b in starts)]
     for s in starts:
         iq[s:s + 400] = tone

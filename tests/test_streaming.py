@@ -74,9 +74,10 @@ def test_capture_set_segments(tmp_path):
     """Contiguous dwells merge into one segment; filter-delay gaps split."""
     if shutil.which("g++") is None:
         pytest.skip("no native toolchain")
+    from conftest import build_native
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    subprocess.run(["make", "-C", os.path.join(repo, "native")],
-                   check=True, capture_output=True)
+    build_native()
     exe = os.path.join(repo, "native", "build", "sdr_record_emulator")
 
     cont = tmp_path / "contig"
