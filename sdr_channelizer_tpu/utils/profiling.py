@@ -24,16 +24,24 @@ import numpy as np
 
 
 def sync_device(tree) -> None:
-    """Force completion of every array in ``tree`` (tiny d2h fetch)."""
+    """Force completion of every array in ``tree`` (tiny d2h fetch).
+
+    Only the scalar fetch: it dispatches a one-element program that
+    serializes behind all queued device work on the single compute stream,
+    so its result arriving implies the tree's producers finished.  Do NOT
+    also call ``jax.block_until_ready`` here — on the remote-tunnel
+    transport it costs a FULL extra round-trip (~0.43 s) on freshly
+    produced arrays while the timing fence (stale arrays) doesn't pay it,
+    which silently inflated fence-subtracted step times by ~11 ms/step at
+    40 iters (bench read 21 ms for a 10 ms program until this was found
+    with tools/tpu_ab_probe.py vs bench.py A/B).
+    """
     import jax
     import jax.numpy as jnp
 
     leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "dtype")]
     if not leaves:
         return
-    jax.block_until_ready(leaves)
-    # Defensive second barrier for transports whose block_until_ready is
-    # asynchronous: materialize one element on the host.
     leaf = leaves[-1]
     np.asarray(jax.jit(lambda v: jnp.ravel(v)[:1].real.astype(jnp.float32))(leaf))
 

@@ -104,25 +104,30 @@ def slot_list(n_flat, live_tiles):
     return jnp.asarray(toa), jnp.asarray(te), jnp.asarray(ch)
 
 
-f_w256 = jax.jit(lambda a, b, c: pulse_stats_dense(
-    mag_cm, dph_cm, sat_cm, a, b, c, window=256, t_len=T))
+# NOTE: the stream arrays must be ARGUMENTS, not closures — jit'd closures
+# become embedded constants and the remote-compile request rejects >~100 MB
+# bodies (HTTP 413).
+f_w256 = jax.jit(lambda mc, dc, sc, a, b, c: pulse_stats_dense(
+    mc, dc, sc, a, b, c, window=256, t_len=T))
 for lt in (0, 2, 16, 64, 128):
     toa, te, ch = slot_list(N_FLAT, lt)
-    dt = timeit(f"stats_dense 32k slots {lt:3d} live", f_w256, toa, te, ch)
+    dt = timeit(f"stats_dense 32k slots {lt:3d} live", f_w256,
+                mag_cm, dph_cm, sat_cm, toa, te, ch)
     results[f"stats_dense_32k_{lt}live_ms"] = round(dt * 1e3, 3)
 
 # Short slot list (512 slots = 2 tiles, both live): fixed overhead probe.
 toa, te, ch = slot_list(512, 2)
-dt = timeit("stats_dense 512 slots 2 live", f_w256, toa, te, ch)
+dt = timeit("stats_dense 512 slots 2 live", f_w256,
+            mag_cm, dph_cm, sat_cm, toa, te, ch)
 results["stats_dense_512_2live_ms"] = round(dt * 1e3, 3)
 
 # window=1024 (long tier), dead list: the long tier's floor cost.
 toa, te, ch = slot_list(N_FLAT, 0)
 dt = timeit(
     "stats_dense 32k w1024 0 live",
-    jax.jit(lambda a, b, c: pulse_stats_dense(
-        mag_cm, dph_cm, sat_cm, a, b, c, window=1024, t_len=T)),
-    toa, te, ch)
+    jax.jit(lambda mc, dc, sc, a, b, c: pulse_stats_dense(
+        mc, dc, sc, a, b, c, window=1024, t_len=T)),
+    mag_cm, dph_cm, sat_cm, toa, te, ch)
 results["stats_dense_32k_w1024_0live_ms"] = round(dt * 1e3, 3)
 
 # --- 2. tiny-pick formulations ------------------------------------------
@@ -132,23 +137,23 @@ idx_f = jnp.asarray(rng.integers(0, T, N_FLAT).astype(np.int32))
 idx_2d = idx_f.reshape(M, P_SLOTS)
 
 dt = timeit("pick flat-1d (current)",
-            jax.jit(lambda c, i: mag_cm.reshape(-1)[c * T + i]),
-            chan_f, idx_f)
+            jax.jit(lambda m, c, i: m.reshape(-1)[c * T + i]),
+            mag_cm, chan_f, idx_f)
 results["pick_flat1d_ms"] = round(dt * 1e3, 3)
 
 dt = timeit("pick take_along axis1 cm",
-            jax.jit(lambda i: jnp.take_along_axis(mag_cm[:M], i, axis=1)),
-            idx_2d)
+            jax.jit(lambda m, i: jnp.take_along_axis(m[:M], i, axis=1)),
+            mag_cm, idx_2d)
 results["pick_tala1_cm_ms"] = round(dt * 1e3, 3)
 
 dt = timeit("pick take_along axis0 tm",
-            jax.jit(lambda i: jnp.take_along_axis(mag_tm, i.T, axis=0)),
-            idx_2d)
+            jax.jit(lambda m, i: jnp.take_along_axis(m, i.T, axis=0)),
+            mag_tm, idx_2d)
 results["pick_tala0_tm_ms"] = round(dt * 1e3, 3)
 
 dt = timeit("pick take_at_cm (block gather)",
-            jax.jit(lambda c, i: take_at_cm(mag_cm, c, i)),
-            chan_f, idx_f)
+            jax.jit(lambda m, c, i: take_at_cm(m, c, i)),
+            mag_cm, chan_f, idx_f)
 results["pick_take_at_cm_ms"] = round(dt * 1e3, 3)
 
 # --- 3. channelizer kernel variants, kernel-only ------------------------
