@@ -44,7 +44,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import os
 from typing import Optional, Tuple
 
 import jax
@@ -615,66 +614,35 @@ def _extract_channelized_pallas_stats(
         # the equivalent flat 1-D gather on v5e (0.08 ms vs 0.47 ms per
         # 32Ki-pick pass, STATS_COST_r02.json pick_* rows) — the per-row
         # minor-axis gather vectorizes where the flat gather serializes.
-        if os.environ.get("SDR_PDW_TINY", "tala") == "tala":
-            safe_toa2 = jnp.minimum(toa_idx, t_len - 1)
-            safe_te2 = jnp.minimum(te_idx, t_len - 1)
-            plen2 = plen.reshape(m, p_slots)
-            mag_a = jnp.take_along_axis(mag_cm[:m], safe_toa2, axis=1)
-            mag_b = jnp.take_along_axis(mag_cm[:m], safe_te2, axis=1)
-            tiny_mag = jnp.where(plen2 >= 2, 0.5 * (mag_a + mag_b), mag_a)
-            tiny_dph = jnp.where(
-                plen2 >= 2,
-                jnp.take_along_axis(dph_cm[:m], safe_toa2, axis=1),
-                jnp.float32(np.nan),
-            )
-        else:  # flat 1-D gather formulation (A/B probe)
-            t_arr = mag_cm.shape[1]
-            safe_toa = jnp.minimum(flat_toa, t_len - 1)
-            safe_te = jnp.minimum(flat_te, t_len - 1)
-            mag_flat = mag_cm.reshape(-1)
-            dph_flat = dph_cm.reshape(-1)
-            mag_a = mag_flat[chan_f * t_arr + safe_toa]
-            mag_b = mag_flat[chan_f * t_arr + safe_te]
-            tiny_mag = jnp.where(plen >= 2, 0.5 * (mag_a + mag_b), mag_a)
-            tiny_dph = jnp.where(
-                plen >= 2, dph_flat[chan_f * t_arr + safe_toa],
-                jnp.float32(np.nan))
-            tiny_mag = tiny_mag.reshape(m, p_slots)
-            tiny_dph = tiny_dph.reshape(m, p_slots)
+        safe_toa2 = jnp.minimum(toa_idx, t_len - 1)
+        safe_te2 = jnp.minimum(te_idx, t_len - 1)
+        plen2 = plen.reshape(m, p_slots)
+        mag_a = jnp.take_along_axis(mag_cm[:m], safe_toa2, axis=1)
+        mag_b = jnp.take_along_axis(mag_cm[:m], safe_te2, axis=1)
+        tiny_mag = jnp.where(plen2 >= 2, 0.5 * (mag_a + mag_b), mag_a)
+        tiny_dph = jnp.where(
+            plen2 >= 2,
+            jnp.take_along_axis(dph_cm[:m], safe_toa2, axis=1),
+            jnp.float32(np.nan),
+        )
 
         def part(sel):
             # Compact the selected slots to the front with a cumsum rank +
             # three drop-mode scatters.  An alternative rank-search + gather
             # formulation (no scatters) was measured SLOWER here on v5e —
             # 2.51 ms vs 1.45 ms marginal at n_flat = 32Ki
-            # (BISECT_STATS_r02.json q2 vs q2s): these are short 1-D slot
-            # lists, unlike the 16.7M-sample edge cumsum where the dense
-            # rank search wins by ~10x (tools/tpu_bisect.py).
-            if os.environ.get("SDR_PDW_COMPACT", "scatter") == "scatter":
-                r_sc = jnp.cumsum(sel.astype(jnp.int32)) - 1
-                r_sc = jnp.where(sel, r_sc, n_flat)
-                base = jnp.full((n_flat,), t_len, jnp.int32)
-                return (base.at[r_sc].set(flat_toa, mode="drop"),
-                        base.at[r_sc].set(flat_te, mode="drop"),
-                        jnp.zeros((n_flat,), jnp.int32).at[r_sc].set(
-                            chan_f, mode="drop"),
-                        jnp.minimum(r_sc, n_flat - 1))
-            from sdr_channelizer_tpu.ops.rank_find import find_ranks_cm
-
-            cum = jnp.cumsum(sel.astype(jnp.float32))
-            rank = jnp.minimum(
-                jnp.where(sel, cum.astype(jnp.int32) - 1, n_flat), n_flat - 1
-            )
-            ranks_f = jnp.arange(1, n_flat + 1, dtype=jnp.float32)
-            blk = 256 if n_flat % 512 else 512
-            pos = find_ranks_cm(cum[None, :], ranks_f[None, :], n_flat,
-                                block=blk)[0]
-            unfilled = pos >= n_flat
-            safe = jnp.minimum(pos, n_flat - 1)
-            return (jnp.where(unfilled, t_len, flat_toa[safe]),
-                    jnp.where(unfilled, t_len, flat_te[safe]),
-                    jnp.where(unfilled, 0, chan_f[safe]),
-                    rank)
+            # (BISECT_STATS_r02.json q2 vs q2s, formulation in git history):
+            # these are short 1-D slot lists, unlike the 16.7M-sample edge
+            # cumsum where the dense rank search wins by ~10x
+            # (tools/tpu_bisect.py).
+            r_sc = jnp.cumsum(sel.astype(jnp.int32)) - 1
+            r_sc = jnp.where(sel, r_sc, n_flat)
+            base = jnp.full((n_flat,), t_len, jnp.int32)
+            return (base.at[r_sc].set(flat_toa, mode="drop"),
+                    base.at[r_sc].set(flat_te, mode="drop"),
+                    jnp.zeros((n_flat,), jnp.int32).at[r_sc].set(
+                        chan_f, mode="drop"),
+                    jnp.minimum(r_sc, n_flat - 1))
 
         toa_s, te_s, ch_s, rank_s = part(is_short)
         toa_l, te_l, ch_l, rank_l = part(is_long)
@@ -689,18 +657,10 @@ def _extract_channelized_pallas_stats(
         # table with a single per-slot rank (halves the gather passes).
         rank_c = jnp.where(is_short, rank_s, rank_l + n_flat).reshape(
             m, p_slots)
-        is_short_2d = is_short.reshape(m, p_slots)
 
-        if os.environ.get("SDR_PDW_MERGE", "combined") == "combined":
-            def mergev(vs, vl, tiny):
-                kern = jnp.concatenate([vs, vl])[rank_c]
-                return jnp.where(is_tiny_2d, tiny, kern)
-        else:  # two-gather formulation (A/B probe)
-            def mergev(vs, vl, tiny):
-                kern = jnp.where(is_short_2d,
-                                 vs[rank_s].reshape(m, p_slots),
-                                 vl[rank_l].reshape(m, p_slots))
-                return jnp.where(is_tiny_2d, tiny, kern)
+        def mergev(vs, vl, tiny):
+            kern = jnp.concatenate([vs, vl])[rank_c]
+            return jnp.where(is_tiny_2d, tiny, kern)
 
         zeros2d = jnp.zeros((m, p_slots), jnp.float32)
         med_mag, med_dph, sat_any = (
