@@ -42,6 +42,20 @@ def sync_device(tree) -> None:
     leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "dtype")]
     if not leaves:
         return
+    # The scalar fetch serializes only on the fetched leaf's device(s).  If
+    # the tree spans several devices (sharded parallel/ outputs), one leaf's
+    # stream completing says nothing about the others — fall back to
+    # block_until_ready there (multi-device arrays only arise on backends
+    # where it works; the single-stream remote tunnel is single-device).
+    devices = set()
+    for x in leaves:
+        try:
+            devices |= x.devices()
+        except Exception:
+            pass
+    if len(devices) > 1:
+        jax.block_until_ready(leaves)
+        return
     leaf = leaves[-1]
     np.asarray(jax.jit(lambda v: jnp.ravel(v)[:1].real.astype(jnp.float32))(leaf))
 
