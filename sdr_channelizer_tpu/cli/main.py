@@ -131,7 +131,8 @@ def cmd_convert(args) -> int:
             np.savez(out, iq=iq, fs=fs, fc=fc, index=idx)
         elif args.mat:
             out = _out_path(path, args.out_dir, ".mat")
-            convert.iq_to_mat(path, out, normalize=not args.raw)
+            convert.iq_to_mat(path, out, normalize=not args.raw,
+                              v73=args.v73)
         else:
             out = _out_path(path, args.out_dir, ".npz")
             convert.iq_to_npz(path, out, normalize=not args.raw)
@@ -561,6 +562,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("files", nargs="+")
     p.add_argument("--out-dir", default=None)
     p.add_argument("--mat", action="store_true")
+    p.add_argument("--v73", action="store_true",
+                   help="with --mat: write a v7.3 (HDF5) container like the "
+                        "reference's save -v7.3")
     p.add_argument("--raw", action="store_true", help="keep integer payload")
     p.set_defaults(fn=cmd_convert)
 
