@@ -289,7 +289,9 @@ def cmd_pdw(args) -> int:
                 from sdr_channelizer_tpu.parallel.pipeline import ShardedPipeline
 
                 mesh = make_mesh(n_time=args.shards, n_chan=1)
-                spipe = ShardedPipeline(mesh, Channelizer.create(m), cfg)
+                spipe = ShardedPipeline(
+                    mesh, Channelizer.create(m), cfg,
+                    halo_mode="strict" if args.strict_halo else "warn")
                 n = len(iq) // (args.shards * m) * (args.shards * m)
                 samples = raw[:n] if raw is not None else np.stack(
                     [np.real(iq[:n]), np.imag(iq[:n])], -1).astype(np.float32)
@@ -333,7 +335,8 @@ def cmd_pdw(args) -> int:
                 mesh = make_mesh(n_time=args.shards, n_chan=1)
                 n = len(iq) // args.shards * args.shards
                 batch, block_len = sharded_extract_pdws(
-                    jnp.asarray(iq[:n]), cfg, mesh)
+                    jnp.asarray(iq[:n]), cfg, mesh,
+                    strict_halo=args.strict_halo)
                 merged = merge_block_batches(batch, block_len)
                 pdws = finalize_pdws(merged, fs=fs, fc=fc, sample_start_time=t0)
             else:
@@ -594,6 +597,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="time-shard the extraction over this many devices "
                         "(channelized: fused per-shard kernels; wideband: "
                         "sharded latch chaining)")
+    p.add_argument("--strict-halo", action="store_true",
+                   help="refuse (instead of warn) when the pulse-stitching "
+                        "halo does not fit the per-shard block — guarantees "
+                        "sharded output == single-device output")
     p.add_argument("--stream", action="store_true",
                    help="blockwise streaming extraction over contiguous "
                         "multi-file segments (O(block) memory, exact "

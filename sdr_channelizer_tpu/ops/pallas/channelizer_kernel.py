@@ -184,6 +184,25 @@ def _pad_weights(taps_rev: np.ndarray, w: np.ndarray, m_pad: int):
     return jnp.asarray(taps_p), jnp.asarray(wr), jnp.asarray(wi)
 
 
+def _pad_weight_slice(taps_rev: np.ndarray, wr, wi, m_pad: int):
+    """Like :func:`_pad_weights` but for an externally supplied (possibly
+    traced, possibly column-sliced) DFT matrix pair ``wr/wi`` of shape
+    (M, n_bands) — the channel-sharded fused pipeline hands each mesh
+    column its band slice.  Pads rows to ``m_pad`` and columns up to the
+    lane width.  The contraction still runs over the same ``m_pad`` rows in
+    the same order as the full-matrix kernel, so each emitted band is
+    bit-identical to the unsharded kernel's."""
+    p, m = taps_rev.shape
+    taps_p = np.zeros((p, m_pad), np.float32)
+    taps_p[:, :m] = taps_rev
+    nb = wr.shape[1]
+    nb_pad = _lane_pad(nb)
+    pad = ((0, m_pad - wr.shape[0]), (0, nb_pad - nb))
+    return (jnp.asarray(taps_p),
+            jnp.pad(jnp.asarray(wr, jnp.float32), pad),
+            jnp.pad(jnp.asarray(wi, jnp.float32), pad))
+
+
 def _atan_poly(z):
     """Cephes single-precision atan kernel, |z| <= tan(pi/8); ~1e-7 abs err."""
     s = z * z
@@ -398,7 +417,8 @@ def _pallas_fir_dft_streams(
         _streams_kernel, block_frames=block_frames, taps_per_band=p,
         scale=scale, sat_level=sat_level, packed=packed,
     )
-    out_block = pl.BlockSpec((block_frames, m), lambda i: (i, 0),
+    n_out = wr.shape[1]  # may be a 128-padded band slice (channel sharding)
+    out_block = pl.BlockSpec((block_frames, n_out), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -412,9 +432,9 @@ def _pallas_fir_dft_streams(
         ],
         out_specs=[out_block, out_block, out_block],
         out_shape=[
-            jax.ShapeDtypeStruct((n_frames, m), jnp.float32),
-            jax.ShapeDtypeStruct((n_frames, m), jnp.float32),
-            jax.ShapeDtypeStruct((n_frames, m), jnp.float32),
+            jax.ShapeDtypeStruct((n_frames, n_out), jnp.float32),
+            jax.ShapeDtypeStruct((n_frames, n_out), jnp.float32),
+            jax.ShapeDtypeStruct((n_frames, n_out), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, win, m), xr.dtype),
@@ -573,6 +593,7 @@ def pallas_channelize_streams(
     block_frames: int = 1024,
     interpret: bool = False,
     history: Optional[Tuple[jax.Array, jax.Array]] = None,
+    w_parts: Optional[Tuple[jax.Array, jax.Array]] = None,
 ):
     """Capture planes -> (mag, phase_deg, sat) detection streams, fused.
 
@@ -586,6 +607,12 @@ def pallas_channelize_streams(
     of FIR state entering this capture block (the previous time shard's
     tail, same dtype as the planes) — overlap-save for sharded/streamed
     runs.  Default zeros = the MATLAB System-object zero initial state.
+
+    ``w_parts``: optional ``(wr, wi)`` real/imag parts of a **column slice**
+    of the shift-folded DFT matrix, shape (M, n_bands) — the kernel then
+    emits streams for those bands only (channel-sharded fused pipeline;
+    each band bit-identical to the full-matrix kernel).  May be traced
+    (e.g. a ``dynamic_slice`` by mesh position).
     """
     p, m = taps_rev.shape
     n_frames = xr.shape[-1] // m
@@ -604,17 +631,22 @@ def pallas_channelize_streams(
             return jnp.pad(fr, ((0, tail), (0, m_pad - m)))
         return jnp.pad(fr, ((p - 1, tail), (0, m_pad - m)))
 
-    from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
+    if w_parts is not None:
+        n_bands = w_parts[0].shape[1]
+        taps_p, wr_p, wi_p = _pad_weight_slice(taps_rev, *w_parts, m_pad)
+    else:
+        from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
 
-    w = dft_matrix(m, shifted=shift)
-    taps_p, wr_p, wi_p = _pad_weights(taps_rev, w, m_pad)
+        n_bands = m
+        w = dft_matrix(m, shifted=shift)
+        taps_p, wr_p, wi_p = _pad_weights(taps_rev, w, m_pad)
     hr, hi = history if history is not None else (None, None)
     mag, ph, sat = _pallas_fir_dft_streams(
         prep(xr, hr), prep(xi, hi), taps_p, wr_p, wi_p,
         block_frames=block_frames, scale=scale, sat_level=float(sat_level),
         interpret=interpret,
     )
-    return mag[:n_frames, :m], ph[:n_frames, :m], sat[:n_frames, :m]
+    return mag[:n_frames, :n_bands], ph[:n_frames, :n_bands], sat[:n_frames, :n_bands]
 
 
 def pallas_channelize_streams_packed(
@@ -626,6 +658,7 @@ def pallas_channelize_streams_packed(
     block_frames: int = 1024,
     interpret: bool = False,
     history: Optional[jax.Array] = None,
+    w_parts: Optional[Tuple[jax.Array, jax.Array]] = None,
 ):
     """Packed-payload variant of :func:`pallas_channelize_streams`.
 
@@ -640,7 +673,8 @@ def pallas_channelize_streams_packed(
 
     ``history``: optional ``(P-1, M)`` packed frames of FIR state entering
     this block (the previous time shard's tail, same packed dtype as
-    ``xq``); default zeros.
+    ``xq``); default zeros.  ``w_parts`` as in
+    :func:`pallas_channelize_streams` (band-slice emission).
     """
     p, m = taps_rev.shape
     n_frames = xq.shape[-1] // m
@@ -657,16 +691,21 @@ def pallas_channelize_streams_packed(
     else:
         fr = jnp.pad(fr, ((p - 1, tail), (0, m_pad - m)))
 
-    from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
+    if w_parts is not None:
+        n_bands = w_parts[0].shape[1]
+        taps_p, wr_p, wi_p = _pad_weight_slice(taps_rev, *w_parts, m_pad)
+    else:
+        from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
 
-    w = dft_matrix(m, shifted=shift)
-    taps_p, wr_p, wi_p = _pad_weights(taps_rev, w, m_pad)
+        n_bands = m
+        w = dft_matrix(m, shifted=shift)
+        taps_p, wr_p, wi_p = _pad_weights(taps_rev, w, m_pad)
     mag, ph, sat = _pallas_fir_dft_streams(
         fr, fr, taps_p, wr_p, wi_p,
         block_frames=block_frames, scale=scale, sat_level=float(sat_level),
         interpret=interpret, packed=True,
     )
-    return mag[:n_frames, :m], ph[:n_frames, :m], sat[:n_frames, :m]
+    return mag[:n_frames, :n_bands], ph[:n_frames, :n_bands], sat[:n_frames, :n_bands]
 
 
 def pallas_channelize(

@@ -55,23 +55,34 @@ from sdr_channelizer_tpu.dsp.pdw import PdwBatch
 from sdr_channelizer_tpu.parallel.mesh import CHAN_AXIS, TIME_AXIS
 
 
-def _cap_halo(halo: int, t_loc: int) -> int:
+def _cap_halo(halo: int, t_loc: int, strict: bool = False) -> int:
     """Cap the stitching halo at the shard block length, loudly.
 
     The bit-exact stitching contract requires the halo to exceed the
     longest pulse; when shard blocks are shorter than that, boundary-
     straddling pulses may be dropped relative to the single-device
-    extractor — warn instead of silently shrinking.
+    extractor — warn (or, with ``strict``, refuse) instead of silently
+    shrinking.
     """
     if halo > t_loc:
+        msg = (
+            f"requested PDW stitching halo ({halo} frames) exceeds the "
+            f"per-shard block length ({t_loc} frames)"
+        )
+        fix = (
+            "use fewer/longer time shards, a smaller max_pulse_samples, "
+            "or an explicit halo_frames"
+        )
+        if strict:
+            raise ValueError(
+                f"{msg}; pulses longer than the block could be dropped at "
+                f"shard boundaries (halo_mode='strict') — {fix}"
+            )
         import warnings
 
         warnings.warn(
-            f"requested PDW stitching halo ({halo} frames) exceeds the "
-            f"per-shard block length ({t_loc} frames); capping to {t_loc}. "
-            f"Pulses longer than the block may be dropped at shard "
-            f"boundaries — use fewer/longer time shards or a smaller "
-            f"max_pulse_samples", stacklevel=3,
+            f"{msg}; capping to {t_loc}. Pulses longer than the block may "
+            f"be dropped at shard boundaries — {fix}", stacklevel=3,
         )
         return t_loc
     return halo
@@ -159,13 +170,21 @@ def _build_channelize_local_planes(chan, n_time: int, n_chan: int, t_loc: int):
 
 
 def _build_channelize_local_fused(chan, cfg: PdwConfig, n_time: int,
-                                  t_loc: int, packed: bool, bit_width: int):
+                                  n_chan: int, t_loc: int, packed: bool,
+                                  bit_width: int):
     """Per-shard fused Pallas channelize + detection-streams kernel with
     overlap-save FIR history over ``ppermute`` — the multi-chip form of
     ``models.pipeline.ChannelizerPipeline.forward_fused`` /
     ``forward_packed``.  Each shard sends its last ``P-1`` frames right;
     the kernel consumes them as its FIR entry state (``history=``), so the
-    concatenated streams equal the single-device kernel bit-for-bit."""
+    concatenated streams equal the single-device kernel bit-for-bit.
+
+    With ``n_chan > 1`` each mesh column hands the kernel its band slice of
+    the shift-folded DFT matrix (the kernel's channel extraction is a
+    ``u @ W`` matmul — SURVEY section 5.8's (time x chan) mesh): the FIR
+    branches are recomputed per column (cheap, P MACs/sample) and each
+    emitted band stays bit-identical to the full-matrix kernel because the
+    contraction runs over the same padded rows in the same order."""
     from sdr_channelizer_tpu.ops.pallas.channelizer_kernel import (
         pallas_channelize_streams,
         pallas_channelize_streams_packed,
@@ -173,6 +192,21 @@ def _build_channelize_local_fused(chan, cfg: PdwConfig, n_time: int,
 
     taps_np = chan.taps_rev  # (P, M) float32
     p, m = taps_np.shape
+    m_loc = m // n_chan
+    w = chmod.dft_matrix(m, shifted=True)
+    wr_np = np.ascontiguousarray(np.real(w), np.float32)
+    wi_np = np.ascontiguousarray(np.imag(w), np.float32)
+
+    def w_slice():
+        if n_chan == 1:
+            return None
+        c_i = jax.lax.axis_index(CHAN_AXIS)
+        return (
+            jax.lax.dynamic_slice_in_dim(
+                jnp.asarray(wr_np), c_i * m_loc, m_loc, axis=1),
+            jax.lax.dynamic_slice_in_dim(
+                jnp.asarray(wi_np), c_i * m_loc, m_loc, axis=1),
+        )
 
     def exchange_tail(frames):
         if p == 1:
@@ -186,6 +220,7 @@ def _build_channelize_local_fused(chan, cfg: PdwConfig, n_time: int,
             return pallas_channelize_streams_packed(
                 xq_loc, taps_np, bit_width=bit_width,
                 sat_level=cfg.saturation_level, history=hist,
+                w_parts=w_slice(),
             )
     else:
         def local(xr_loc: jax.Array, xi_loc: jax.Array):
@@ -195,6 +230,7 @@ def _build_channelize_local_fused(chan, cfg: PdwConfig, n_time: int,
             return pallas_channelize_streams(
                 xr_loc, xi_loc, taps_np, bit_width=bit_width,
                 sat_level=cfg.saturation_level, history=history,
+                w_parts=w_slice(),
             )
 
     return local
@@ -316,13 +352,23 @@ class ShardedPipeline:
 
     ``halo_frames`` (decimated frames read past each block's right edge)
     must exceed the longest pulse for exact boundary stitching; defaults to
-    ``pdw_cfg.max_pulse_samples`` and is capped at the block length.
+    ``pdw_cfg.max_pulse_samples`` and is capped at the block length
+    (``halo_mode="warn"``) or refused when it does not fit
+    (``halo_mode="strict"`` — guarantees the bit-exact stitching contract
+    or an error, never a silent drop).
     """
 
     mesh: jax.sharding.Mesh
     channelizer: "chmod.Channelizer"
     pdw_cfg: PdwConfig
     halo_frames: Optional[int] = None
+    halo_mode: str = "warn"
+
+    @property
+    def _strict_halo(self) -> bool:
+        if self.halo_mode not in ("warn", "strict"):
+            raise ValueError(f"unknown halo_mode {self.halo_mode!r}")
+        return self.halo_mode == "strict"
 
     def __post_init__(self):
         self._cache = {}
@@ -344,7 +390,8 @@ class ShardedPipeline:
                 f"{n_time} time shards of whole {m}-sample frames"
             )
         t_loc = n_samples // (n_time * m)
-        halo = _cap_halo(self.halo_frames or self.pdw_cfg.max_pulse_samples, t_loc)
+        halo = _cap_halo(self.halo_frames or self.pdw_cfg.max_pulse_samples,
+                         t_loc, self._strict_halo)
         m_loc = m // n_chan
 
         chan_local = _build_channelize_local(self.channelizer, n_time, n_chan, t_loc)
@@ -384,7 +431,8 @@ class ShardedPipeline:
                 f"{n_time} time shards of whole {m}-sample frames"
             )
         t_loc = n_samples // (n_time * m)
-        halo = _cap_halo(self.halo_frames or self.pdw_cfg.max_pulse_samples, t_loc)
+        halo = _cap_halo(self.halo_frames or self.pdw_cfg.max_pulse_samples,
+                         t_loc, self._strict_halo)
         m_loc = m // n_chan
 
         chan_local = _build_channelize_local_planes(
@@ -419,9 +467,10 @@ class ShardedPipeline:
 
     def _build_fused(self, n_samples: int, packed: bool, bit_width: int,
                      stats: str = "auto"):
-        """Fused-kernel sharded pipeline (time sharding only): per-shard
-        Pallas channelize + detection-streams kernel (overlap-save FIR
-        history over ICI), global noise-floor median, per-shard PDW
+        """Fused-kernel sharded pipeline over the full (time x chan) mesh:
+        per-shard Pallas channelize + detection-streams kernel (overlap-save
+        FIR history over ICI; each mesh column emits its band slice of the
+        in-kernel DFT matmul), global noise-floor median, per-shard PDW
         extraction with the Pallas ``pulse_stats`` path when feasible —
         the multi-chip composition of the single-chip headline path
         (``bench.py``; ``create_pdws_channelized.m:57-136``).
@@ -431,13 +480,10 @@ class ShardedPipeline:
         "xla" (block-core scan).
         """
         n_time, n_chan = self.n_time, self.n_chan
-        if n_chan != 1:
-            raise ValueError(
-                "the fused sharded pipeline shards time only (the kernel "
-                "computes all M bands per shard); use a (n_time, 1) mesh "
-                "or the XLA path for channel sharding"
-            )
         m = self.channelizer.num_bands
+        if m % n_chan:
+            raise ValueError(
+                f"num_bands {m} not divisible by chan mesh axis {n_chan}")
         if n_samples % (n_time * m):
             raise ValueError(
                 f"capture length {n_samples} must divide into "
@@ -452,7 +498,8 @@ class ShardedPipeline:
                 f"({n_samples} samples over {n_time} shards of {m}-sample "
                 f"frames) — use fewer time shards"
             )
-        halo = _cap_halo(self.halo_frames or self.pdw_cfg.max_pulse_samples, t_loc)
+        halo = _cap_halo(self.halo_frames or self.pdw_cfg.max_pulse_samples,
+                         t_loc, self._strict_halo)
 
         if stats == "auto":
             pallas_stats = pdwmod._pallas_stats_ok(t_loc + halo, self.pdw_cfg)
@@ -464,15 +511,17 @@ class ShardedPipeline:
             raise ValueError(f"unknown stats mode {stats!r}")
 
         chan_local = _build_channelize_local_fused(
-            self.channelizer, self.pdw_cfg, n_time, t_loc, packed, bit_width
+            self.channelizer, self.pdw_cfg, n_time, n_chan, t_loc, packed,
+            bit_width
         )
         pdw_local = _build_pdw_local_streams(
-            self.pdw_cfg, n_time, t_loc, halo, m, pallas_stats
+            self.pdw_cfg, n_time, t_loc, halo, m // n_chan, pallas_stats
         )
         batch_specs = PdwBatch(
             **{f.name: P(TIME_AXIS, CHAN_AXIS) for f in dataclasses.fields(PdwBatch)}
         )
-        stream_specs = (P(TIME_AXIS), P(TIME_AXIS), P(TIME_AXIS))
+        stream_spec = P(TIME_AXIS, CHAN_AXIS)
+        stream_specs = (stream_spec, stream_spec, stream_spec)
         in_specs = (P(TIME_AXIS),) if packed else (P(TIME_AXIS), P(TIME_AXIS))
 
         @jax.jit
@@ -485,7 +534,8 @@ class ShardedPipeline:
             nf = medians.median(mag, axis=0)  # global per-band median
             batch = jax.shard_map(
                 pdw_local, mesh=self.mesh,
-                in_specs=(P(TIME_AXIS), P(TIME_AXIS), P(TIME_AXIS), P(None)),
+                in_specs=(stream_spec, stream_spec, stream_spec,
+                          P(CHAN_AXIS)),
                 out_specs=batch_specs,
                 check_vma=False,
             )(mag, ph, sat, nf)
@@ -644,6 +694,7 @@ def sharded_extract_pdws(
     cfg: PdwConfig,
     mesh: jax.sharding.Mesh,
     halo_samples: Optional[int] = None,
+    strict_halo: bool = False,
 ) -> Tuple[PdwBatch, int]:
     """Time-sharded **wideband** PDW extraction (``create_pdws.m`` under
     sharding): full-rate stream split across the time axis, scalar global
@@ -660,7 +711,7 @@ def sharded_extract_pdws(
     if n % n_time:
         raise ValueError(f"{n} samples not divisible by {n_time} time shards")
     t_loc = n // n_time
-    halo = _cap_halo(halo_samples or cfg.max_pulse_samples, t_loc)
+    halo = _cap_halo(halo_samples or cfg.max_pulse_samples, t_loc, strict_halo)
     pdw_local = _build_pdw_local(cfg, n_time, t_loc, halo, m_loc=1)
     batch_specs = PdwBatch(
         **{f.name: P(TIME_AXIS, CHAN_AXIS) for f in dataclasses.fields(PdwBatch)}

@@ -126,7 +126,11 @@ def test_boundary_straddling_pulse_owned_once(reference):
 
     mesh = make_mesh(n_time=8, n_chan=1)
     pipe = ShardedPipeline(mesh, chan, cfg)
-    _, _, batch = pipe.step(jnp.asarray(iq))
+    # max_pulse_samples (2048) deliberately exceeds the 256-frame blocks:
+    # the halo caps (with a warning) and the stitching contract still holds
+    # for the pulses this capture actually produces.
+    with pytest.warns(UserWarning, match="halo"):
+        _, _, batch = pipe.step(jnp.asarray(iq))
     merged = merge_block_batches(batch, block_len_frames=n_frames // 8)
     assert int(np.sum(np.asarray(batch.count))) == int(np.sum(np.asarray(batch_ref.count)))
     for ch in range(M):
@@ -150,8 +154,26 @@ def test_pulse_active_at_end_not_emitted():
     batch_ref = extract_pdws_channelized(channelize(jnp.asarray(iq), chan), cfg)
     mesh = make_mesh(n_time=8, n_chan=1)
     pipe = ShardedPipeline(mesh, chan, cfg)
-    _, _, batch = pipe.step(jnp.asarray(iq))
+    with pytest.warns(UserWarning, match="halo"):
+        _, _, batch = pipe.step(jnp.asarray(iq))
     assert int(np.sum(np.asarray(batch.count))) == int(np.sum(np.asarray(batch_ref.count)))
+
+
+def test_strict_halo_mode_refuses():
+    """halo_mode='strict' turns the halo cap into an error (never a silent
+    boundary-pulse drop); a fitting halo still runs."""
+    n_frames = 1024
+    iq = _capture(n_frames)
+    cfg = PdwConfig.channelized(max_pulses=8, max_pulse_samples=2048)
+    chan = Channelizer.create(M)
+    mesh = make_mesh(n_time=8, n_chan=1)
+    pipe = ShardedPipeline(mesh, chan, cfg, halo_mode="strict")
+    with pytest.raises(ValueError, match="halo"):
+        pipe.step(jnp.asarray(iq))
+    ok = ShardedPipeline(mesh, chan, cfg, halo_frames=128,
+                         halo_mode="strict")
+    _, _, batch = ok.step(jnp.asarray(iq))
+    assert int(np.sum(np.asarray(batch.count))) >= 0
 
 
 def test_extract_end_to_end(capture):

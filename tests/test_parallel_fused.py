@@ -139,8 +139,39 @@ def test_sharded_fused_int8_packed():
     _assert_pdws_equal(got, ref)
 
 
-def test_sharded_fused_rejects_chan_split():
-    mesh = make_mesh(n_time=4, n_chan=2)
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (1, 8)])
+def test_sharded_fused_chan_split(mesh_shape):
+    """The fused pipeline over a full (time x chan) mesh — each mesh column
+    runs the kernel with its band slice of the DFT matmul (SURVEY section
+    5.8's 2-D mesh) — equals the single-device fused pipeline bit-for-bit."""
+    n_time, n_chan = mesh_shape
+    samples = _capture(12)
+    chan = Channelizer.create(M)
+    mesh = make_mesh(n_time=n_time, n_chan=n_chan)
+    pipe = ShardedPipeline(mesh, chan, CFG)
+    got = pipe.extract_fused(samples, bit_width=12, fs=FS, fc=1e9,
+                             sample_start_time=2.0)
+    ref = ChannelizerPipeline(channelizer=chan, pdw_cfg=CFG).extract_fused(
+        samples, bit_width=12, fs=FS, fc=1e9, sample_start_time=2.0)
+    _assert_pdws_equal(got, ref)
+
+
+def test_sharded_fused_chan_split_pallas_stats(monkeypatch):
+    """(2, 2) mesh with the sort-free (real-TPU) per-shard extraction."""
+    samples = _capture(12)
+    chan = Channelizer.create(M)
+    monkeypatch.setattr(medians, "use_sort_free", lambda: True)
+    ref = ChannelizerPipeline(channelizer=chan, pdw_cfg=CFG).extract_fused(
+        samples, bit_width=12, fs=FS, fc=1e9, sample_start_time=2.0)
+    mesh = make_mesh(n_time=2, n_chan=2)
+    pipe = ShardedPipeline(mesh, chan, CFG)
+    got = pipe.extract_fused(samples, bit_width=12, fs=FS, fc=1e9,
+                             sample_start_time=2.0, stats="pallas")
+    _assert_pdws_equal(got, ref)
+
+
+def test_sharded_fused_rejects_indivisible_bands():
+    mesh = make_mesh(n_time=2, n_chan=3)
     pipe = ShardedPipeline(mesh, Channelizer.create(M), CFG)
-    with pytest.raises(ValueError, match="time"):
+    with pytest.raises(ValueError, match="divisible"):
         pipe.step_packed(jnp.zeros(4096, jnp.int32), bit_width=12)
