@@ -195,14 +195,26 @@ def cmd_channelize(args) -> int:
             waterfall_png(png, np.abs(y), fs, meta.get("fc", 0.0),
                           title=os.path.basename(path))
             print(png)
-        if args.frames_dir:
+        if args.frames_dir or args.video:
+            import tempfile
+
             from sdr_channelizer_tpu.viz import waterfall_window_pngs
 
-            for p in waterfall_window_pngs(
-                args.frames_dir, iq[:n], fs, m, meta.get("fc", 0.0),
+            frames_dir = args.frames_dir or tempfile.mkdtemp(
+                prefix="waterfall_frames_")
+            frames = waterfall_window_pngs(
+                frames_dir, iq[:n], fs, m, meta.get("fc", 0.0),
                 window_sec=args.frame_window_sec, limit=args.frame_limit,
-            ):
-                print(p)
+            )
+            if args.frames_dir:
+                for p in frames:
+                    print(p)
+            if args.video:
+                from sdr_channelizer_tpu.viz import waterfall_video
+
+                video = (args.video if args.video != "auto"
+                         else _out_path(path, args.out_dir, "_waterfall.mp4"))
+                print(waterfall_video(video, frames, fps=args.video_fps))
     return 0
 
 
@@ -579,6 +591,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--out", default=None)
     p.add_argument("--out-dir", default=None)
     p.add_argument("--png", default=None, const="auto", nargs="?")
+    p.add_argument("--video", default=None, nargs="?", const="auto",
+                   help="assemble the windowed waterfall into an MPEG-4 "
+                        "(channelizer_example.m video parity); optional "
+                        "output path")
+    p.add_argument("--video-fps", type=float, default=20.0)
     p.add_argument("--frames-dir", default=None,
                    help="write a waterfall PNG sequence (video parity)")
     p.add_argument("--frame-window-sec", type=float, default=5e-3)

@@ -124,6 +124,61 @@ def waterfall_window_pngs(
     return paths
 
 
+def waterfall_video(
+    out_path,
+    frame_paths: list,
+    fps: float = 20.0,
+) -> str:
+    """Assemble a PNG frame sequence into an MPEG-4 video — the one-command
+    equivalent of the reference's waterfall video
+    (``channelizer_example.m:36-75`` renders surf frames into a
+    ``VideoWriter(..., 'MPEG-4')``).
+
+    Uses the ``ffmpeg`` binary when present, else OpenCV's ``VideoWriter``
+    (mp4v).  Returns the written path.
+    """
+    import os
+    import shutil
+    import subprocess
+
+    if not frame_paths:
+        raise ValueError("no frames to assemble")
+    out_path = os.fspath(out_path)
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg:
+        # Frames are frame_%05d.png in one directory (waterfall_window_pngs).
+        pattern = os.path.join(os.path.dirname(frame_paths[0]),
+                               "frame_%05d.png")
+        subprocess.run(
+            [ffmpeg, "-y", "-loglevel", "error", "-framerate", str(fps),
+             "-i", pattern, "-pix_fmt", "yuv420p", out_path],
+            check=True,
+        )
+        return out_path
+    import cv2
+
+    first = cv2.imread(frame_paths[0])
+    if first is None:
+        raise ValueError(f"cannot read frame {frame_paths[0]!r}")
+    h, w = first.shape[:2]
+    # mp4v needs even dimensions; crop a pixel if necessary.
+    h -= h % 2
+    w -= w % 2
+    writer = cv2.VideoWriter(
+        out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    if not writer.isOpened():
+        raise RuntimeError("no MPEG-4 encoder available (ffmpeg or OpenCV)")
+    try:
+        for p in frame_paths:
+            img = cv2.imread(p)
+            if img is None:
+                raise ValueError(f"cannot read frame {p!r}")
+            writer.write(img[:h, :w])
+    finally:
+        writer.release()
+    return out_path
+
+
 def pdw_plot_png(path, pdws: dict, title: Optional[str] = None) -> None:
     plt = _plt()
     t = np.asarray(pdws["toa"])

@@ -146,6 +146,27 @@ def test_channelize_cmd(capture_file, tmp_path):
     assert png.exists() and png.stat().st_size > 1000
 
 
+def test_channelize_video(capture_file, tmp_path):
+    """channelizer_example.m MPEG-4 parity: windowed waterfall frames
+    assembled into one video file."""
+    video = tmp_path / "wf.mp4"
+    frames = tmp_path / "frames"
+    rc = main(["channelize", str(capture_file), "--bands", "8",
+               "--frames-dir", str(frames), "--frame-limit", "3",
+               "--frame-window-sec", "0.0005",
+               "--video", str(video), "--video-fps", "10"])
+    assert rc == 0
+    assert len(list(frames.glob("frame_*.png"))) == 3
+    assert video.exists() and video.stat().st_size > 5000
+    import cv2
+
+    cap = cv2.VideoCapture(str(video))
+    assert cap.isOpened()
+    n_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    assert n_frames == 3
+
+
 def test_pdw_cmd_wideband(capture_file, tmp_path):
     out = tmp_path / "pdw.npz"
     png = tmp_path / "pdw.png"
