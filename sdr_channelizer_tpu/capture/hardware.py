@@ -106,9 +106,18 @@ class UhdRadio:
         self.board_name = str(self.usrp.get_mboard_name())  # :50
         rx_info = self.usrp.get_usrp_rx_info()
         self.serial_number = str(rx_info.get("mboard_serial"))  # :57
-        tree = self.usrp.get_tree()  # :60-70
-        self.fpga_version = str(tree.access_str("/mboards/0/fpga_version").get())
-        self.fw_version = str(tree.access_str("/mboards/0/fw_version").get())
+        # Property-tree reads (:60-70).  The Python property-tree exposure
+        # varies by UHD version (capture/vendor_api.py UHD_MULTI_USRP
+        # "get_tree") — metadata only, so degrade to "unknown" rather than
+        # refuse the radio.
+        try:
+            tree = self.usrp.get_tree()
+            self.fpga_version = str(
+                tree.access_str("/mboards/0/fpga_version").get())
+            self.fw_version = str(
+                tree.access_str("/mboards/0/fw_version").get())
+        except AttributeError:
+            self.fpga_version = self.fw_version = "unknown"
 
         self.usrp.set_clock_source(self.clock_source)  # :73
         self.usrp.set_rx_subdev_spec(uhd.usrp.SubdevSpec(self.subdev))  # :76
@@ -224,7 +233,7 @@ class BladeRadio:
 
         self.dev = brf.BladeRF()  # open first device, :52-54
         self.channel = brf.CHANNEL_RX(0)  # :29
-        self.link_speed = str(self.dev.get_devinfo_speed())  # :62-75
+        self.link_speed = str(self.dev.get_device_speed())  # :62-75
         self.serial_number = str(self.dev.get_serial())  # :79
         self.board_name = str(self.dev.get_board_name())  # :85
         self.fpga_version = str(self.dev.get_fpga_version())  # :91
@@ -243,8 +252,17 @@ class BladeRadio:
         self.dev.set_gain(ch, int(round(self.gain_db)))  # :180
         self._gain_db = float(self.dev.get_gain(ch))
 
-        fmt = (brf.Format.SC16_Q11_META if self.bit_width >= 12
-               else brf.Format.SC8_Q7_META)  # :214 / blade_record_iq_08bit.cpp:214
+        # The stock cffi binding exposes no metadata structs — without them
+        # there are no timed dwells, device timestamps, or overrun flags
+        # (vendor_api.py "KNOWN BINDING GAP"); fall back to the non-META
+        # formats + host-clock timestamps there.
+        self._has_meta = hasattr(brf, "Metadata")
+        if self._has_meta:
+            fmt = (brf.Format.SC16_Q11_META if self.bit_width >= 12
+                   else brf.Format.SC8_Q7_META)  # :214 / blade_record_iq_08bit.cpp:214
+        else:
+            fmt = (brf.Format.SC16_Q11 if self.bit_width >= 12
+                   else brf.Format.SC8_Q7)
         self.dev.sync_config(
             layout=brf.ChannelLayout.RX_X1,
             fmt=fmt,
@@ -254,8 +272,9 @@ class BladeRadio:
             stream_timeout=_BLADE_TIMEOUT_MS,
         )  # :207-214
         self.dev.enable_module(ch, True)  # :227
-        self._t0_ticks = float(self.dev.get_timestamp(brf.RX))  # :274
         self._epoch0 = time.time()
+        self._t0_ticks = (float(self.dev.get_timestamp(brf.RX))  # :274
+                          if self._has_meta else 0.0)
 
     @property
     def gain_db(self) -> float:
@@ -273,6 +292,20 @@ class BladeRadio:
         self, num_samples: int, start_time: Optional[float] = None
     ) -> Tuple[np.ndarray, float]:
         brf = self.driver
+        scale = float(1 << 11) if self.bit_width >= 12 else float(1 << 7)  # :261
+        raw = np.empty(2 * num_samples, np.int16 if self.bit_width >= 12 else np.int8)
+        if not self._has_meta:
+            # Stock-binding fallback (vendor_api.py "KNOWN BINDING GAP"):
+            # untimed blocking RX, host-clock timestamps, no overrun flag.
+            if start_time is not None:
+                wait = start_time - time.time()
+                if wait > 0:
+                    time.sleep(wait)
+            self.dev.sync_rx(raw, num_samples, _BLADE_TIMEOUT_MS + 1500)
+            t0 = time.time() - num_samples / self.sample_rate_sps
+            iq = (raw[0::2].astype(np.float32)
+                  + 1j * raw[1::2].astype(np.float32))
+            return (iq / scale).astype(np.complex64), t0
         meta = brf.Metadata()
         if start_time is None:
             meta.flags = brf.META_FLAG_RX_NOW  # :290
@@ -281,8 +314,6 @@ class BladeRadio:
             meta.timestamp = int(
                 self._t0_ticks + (start_time - self._epoch0) * self.sample_rate_sps
             )
-        scale = float(1 << 11) if self.bit_width >= 12 else float(1 << 7)  # :261
-        raw = np.empty(2 * num_samples, np.int16 if self.bit_width >= 12 else np.int8)
         self.dev.sync_rx(raw, num_samples, meta, _BLADE_TIMEOUT_MS + 1500)  # :298
         if getattr(meta, "status", 0) & getattr(brf, "META_STATUS_OVERRUN", 0):
             self.overruns += 1  # :304-307
