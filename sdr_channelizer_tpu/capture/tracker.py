@@ -65,6 +65,22 @@ class EventTracker:
     def __post_init__(self):
         cfg = self.pdw_cfg
 
+        def _pack(batch, sat):
+            """One f32 array carrying everything the host loop needs —
+            ONE device->host fetch per dwell (each fetch costs a full
+            round-trip on remote transports, ~0.4 s on the tunnel)."""
+            head = jnp.stack([
+                batch.count.astype(jnp.float32),
+                sat.astype(jnp.float32),
+            ])
+            head = jnp.pad(head, (0, cfg.max_pulses - 2))
+            return jnp.stack([
+                head,
+                jnp.where(batch.valid, batch.toa_idx.astype(jnp.float32),
+                          -1.0),
+                batch.snr_db,
+            ])
+
         @jax.jit
         def _extract(x):
             mag = jnp.abs(x)
@@ -74,9 +90,26 @@ class EventTracker:
                 (jnp.abs(x.real) >= self.saturation_level)
                 | (jnp.abs(x.imag) >= self.saturation_level)
             )
-            return batch, sat
+            return _pack(batch, sat)
+
+        @jax.jit
+        def _extract_planes(xr, xi):
+            # Complex-free twin for transports without complex h2d (the
+            # real-TPU path, tools/tpu_tracker_drive.py).
+            mag, ph, sats = pdwmod._prep_streams_planes(
+                xr, xi, self.saturation_level)
+            noise_floor = jnp.mean(mag)
+            batch = pdwmod._extract_wideband_from_streams(
+                mag, ph, sats, cfg, noise_floor)
+            sat = jnp.any(sats)
+            return _pack(batch, sat)
 
         self._extract = _extract
+        self._extract_planes = _extract_planes
+        try:
+            self._use_planes = jax.devices()[0].platform != "cpu"
+        except RuntimeError:
+            self._use_planes = False
 
     def step(self) -> DwellReport:
         fs = self.radio.sample_rate_sps
@@ -86,8 +119,16 @@ class EventTracker:
             start = self.next_event_time - self.dwell_sec / 2  # :229-241
         iq, t0 = self.radio.receive(dwell_n, start_time=start)
 
-        batch, sat = self._extract(jnp.asarray(iq))
-        sat = bool(sat)
+        if self._use_planes:
+            iq = np.asarray(iq)
+            packed = self._extract_planes(
+                jnp.asarray(np.ascontiguousarray(iq.real, np.float32)),
+                jnp.asarray(np.ascontiguousarray(iq.imag, np.float32)))
+        else:
+            packed = self._extract(jnp.asarray(iq))
+        packed = np.asarray(packed)  # the dwell's single host sync
+        n_pulses = int(packed[0, 0])
+        sat = bool(packed[0, 1] > 0.5)
         self.counters.add("dwells")
         self.counters.add("samples_ingested", dwell_n)
         if sat:
@@ -95,12 +136,11 @@ class EventTracker:
             self.counters.add("saturation_events")
             self.counters.add("gain_decrements_db")
 
-        valid = np.asarray(batch.valid)
-        n_pulses = int(np.asarray(batch.count))
         self.counters.add("pulses_emitted", n_pulses)
         event_t = None
-        toa_rel = (np.asarray(batch.toa_idx)[valid] + 1) / fs
-        snr = np.asarray(batch.snr_db)[valid]
+        valid = packed[1] >= 0
+        toa_rel = (packed[1][valid] + 1) / fs
+        snr = packed[2][valid]
         if n_pulses > self.event_cfg.min_pulses_for_fit:  # :348
             t_peak = eventsmod.quadratic_peak_time(toa_rel, snr)
             if np.isfinite(t_peak):

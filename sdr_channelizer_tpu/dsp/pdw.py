@@ -343,24 +343,65 @@ def _prep_streams_planes(yr: jax.Array, yi: jax.Array, saturation_level: float):
     return mag, phase_deg, sat
 
 
-def extract_pdws_planes(
-    yr: jax.Array,
-    yi: jax.Array,
+def _extract_wideband_from_streams(
+    mag: jax.Array,
+    phase_deg: jax.Array,
+    sat: jax.Array,
     cfg: PdwConfig,
-    noise_floor: Optional[jax.Array] = None,
+    noise_floor: jax.Array,
+    stats: str = "auto",
 ) -> PdwBatch:
-    """Wideband extraction from float planes (complex-free graph)."""
-    mag, phase_deg, sat = _prep_streams_planes(yr, yi, cfg.saturation_level)
-    if noise_floor is None:
-        noise_floor = medians.median(mag)
+    """Shared wideband routing from precomputed (T,) detection streams:
+    Pallas stats when the block fits, blockwise past 2^24 samples on
+    sort-free backends, XLA otherwise — used by both the complex and the
+    planes entry points."""
+    too_long = mag.shape[-1] >= (1 << 24)
+    if stats == "auto":
+        if _pallas_stats_ok(mag.shape[-1], cfg):
+            stats = "pallas"
+        elif too_long and medians.use_sort_free():
+            stats = "blocked"  # kernel-feasible blocks, latch carried across
+        else:
+            stats = "xla"
+    elif stats == "pallas" and too_long:
+        stats = "blocked"
+    if stats == "blocked":
+        return _extract_wideband_blocked(mag, phase_deg, sat, cfg, noise_floor)
+    if stats == "pallas":
+        batch = _extract_channelized_pallas_stats(
+            mag[:, None], phase_deg[:, None], sat[:, None], cfg,
+            jnp.reshape(noise_floor, (1,)),
+        )
+        return jax.tree.map(lambda v: v[0] if getattr(v, "ndim", 0) else v, batch)
     return extract_pdws_core(
-        mag, phase_deg, sat, noise_floor,
+        mag,
+        phase_deg,
+        sat,
+        noise_floor,
         snr_threshold_db=cfg.snr_threshold_db,
         trailing_threshold_db=cfg.trailing_threshold_db,
         saturation_level=cfg.saturation_level,
         max_pulses=cfg.max_pulses,
         max_pulse_samples=cfg.max_pulse_samples,
     )
+
+
+def extract_pdws_planes(
+    yr: jax.Array,
+    yi: jax.Array,
+    cfg: PdwConfig,
+    noise_floor: Optional[jax.Array] = None,
+    stats: str = "auto",
+) -> PdwBatch:
+    """Wideband extraction from float planes (complex-free graph) — same
+    routing as :func:`extract_pdws` (the Pallas ``pulse_stats`` path on
+    sort-free backends; this is the wideband entry the real-TPU transport
+    can ingest, complex h2d being unimplemented there)."""
+    mag, phase_deg, sat = _prep_streams_planes(yr, yi, cfg.saturation_level)
+    if noise_floor is None:
+        noise_floor = medians.median(mag)
+    return _extract_wideband_from_streams(
+        mag, phase_deg, sat, cfg, noise_floor, stats=stats)
 
 
 def extract_pdws_channelized_streams(
@@ -806,35 +847,8 @@ def extract_pdws(
     mag, phase_deg, sat = _prep_streams(iq, cfg.saturation_level)
     if noise_floor is None:
         noise_floor = medians.median(mag)
-    too_long = mag.shape[-1] >= (1 << 24)
-    if stats == "auto":
-        if _pallas_stats_ok(mag.shape[-1], cfg):
-            stats = "pallas"
-        elif too_long and medians.use_sort_free():
-            stats = "blocked"  # kernel-feasible blocks, latch carried across
-        else:
-            stats = "xla"
-    elif stats == "pallas" and too_long:
-        stats = "blocked"
-    if stats == "blocked":
-        return _extract_wideband_blocked(mag, phase_deg, sat, cfg, noise_floor)
-    if stats == "pallas":
-        batch = _extract_channelized_pallas_stats(
-            mag[:, None], phase_deg[:, None], sat[:, None], cfg,
-            jnp.reshape(noise_floor, (1,)),
-        )
-        return jax.tree.map(lambda v: v[0] if getattr(v, "ndim", 0) else v, batch)
-    return extract_pdws_core(
-        mag,
-        phase_deg,
-        sat,
-        noise_floor,
-        snr_threshold_db=cfg.snr_threshold_db,
-        trailing_threshold_db=cfg.trailing_threshold_db,
-        saturation_level=cfg.saturation_level,
-        max_pulses=cfg.max_pulses,
-        max_pulse_samples=cfg.max_pulse_samples,
-    )
+    return _extract_wideband_from_streams(
+        mag, phase_deg, sat, cfg, noise_floor, stats=stats)
 
 
 def extract_pdws_channelized(
