@@ -554,6 +554,15 @@ def _extract_channelized_pallas_stats(
         te_idx = find_ranks_cm(
             ct_cm[:m], ranks_2d + entry.astype(jnp.float32)[:, None], t_len
         )
+        # The rank searches read the full (M, T) cumsums; downstream
+        # consumers that fuse them in re-run that read.  Pin the
+        # (M, p_slots) results so the tail's many consumers (tier masks,
+        # tiny picks, compaction, emit) share ONE materialized copy
+        # (-0.6 ms/step in-graph on v5e, TAIL_BISECT_r03.json v_bar vs
+        # v_old; the same file records that the other round-3 tail
+        # candidates — merged kernel tiers, blocked tiny picks — LOST
+        # end-to-end despite winning isolated micros).
+        toa_idx, te_idx = jax.lax.optimization_barrier((toa_idx, te_idx))
         # Leads within the owned region (ranks past n_own point into the
         # halo; downstream stats for them are garbage masked by `matched`).
         n_own = cl_cm[:m, own - 1].astype(jnp.int32)
