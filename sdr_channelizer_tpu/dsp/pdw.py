@@ -359,7 +359,8 @@ def _extract_wideband_from_streams(
     if stats == "auto":
         if _pallas_stats_ok(mag.shape[-1], cfg):
             stats = "pallas"
-        elif too_long and medians.use_sort_free():
+        elif (too_long and medians.use_sort_free()
+              and _stats_window_rows_ok(cfg)):
             stats = "blocked"  # kernel-feasible blocks, latch carried across
         else:
             stats = "xla"
@@ -463,19 +464,33 @@ def extract_pdws_channelized_streams_cm(
     )
 
 
+def _stats_window_rows_ok(cfg: PdwConfig) -> bool:
+    """VMEM bound on the ``pulse_stats`` kernel's window height.
+
+    The kernel's radix-descent state scales with ``TILE * rows`` live
+    vectors; on a 128 MB-VMEM v5e, ``window=1024`` (rows=9) compiles and
+    runs, but ``window=4096`` (rows=33) is rejected at compile with 139 MB
+    of scoped VMEM (first hit driving the tracker's wideband config,
+    tools/tpu_tracker_drive.py, 2026-08-20).  Routing — not the kernel's
+    own feasibility check — enforces the measured-known-good bound so
+    wider-window configs fall back to the exact XLA formulation instead
+    of failing the whole program's compile."""
+    return (cfg.max_pulse_samples + 127) // 128 + 1 <= 9
+
+
 def _pallas_stats_ok(t_len: int, cfg: PdwConfig) -> bool:
     """True when the ``stats="auto"`` path should use the ``pulse_stats``
     Pallas kernel: sort-free backend AND the block satisfies the kernel's
     static shape constraints (else fall back to the XLA formulation instead
     of crashing at trace time — too-short CLI captures, or single blocks
-    past 2^24 samples)."""
+    past 2^24 samples), AND the window fits VMEM."""
     from sdr_channelizer_tpu.ops.pallas.pulse_stats_kernel import (
         stats_kernel_feasible,
     )
 
-    return medians.use_sort_free() and stats_kernel_feasible(
-        int(t_len), cfg.max_pulse_samples
-    )
+    return (medians.use_sort_free()
+            and _stats_window_rows_ok(cfg)
+            and stats_kernel_feasible(int(t_len), cfg.max_pulse_samples))
 
 
 def _extract_channelized_pallas_stats(

@@ -163,6 +163,10 @@ def _latch_call(mag, lead_row, trail_row, entry_row, *, t_blk: int,
             jax.ShapeDtypeStruct((m, t_len), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((8, m), jnp.float32)],
+        # Double-buffered (t_blk, m) in + two (m, t_blk) outs top the 16 MB
+        # default scoped-VMEM budget for t_blk >= 8192; v5e has 128 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(mag, lead_row, trail_row, entry_row,
       jnp.asarray(np.eye(LANES, dtype=np.float32)))

@@ -72,7 +72,15 @@ def main():
 
     radio.receive = timed_receive
 
-    tracker = EventTracker(radio=radio, dwell_sec=dwell_sec)
+    # The event config's default max_pulse_samples=4096 routes stats to the
+    # exact-but-slow XLA formulation on TPU (the pulse_stats kernel's
+    # window tops VMEM past 1024 — dsp/pdw.py:_stats_window_rows_ok).  The
+    # emulated pulses are 10 us * 56 Msps = 560 samples, so a 1024-sample
+    # window computes the SAME medians and keeps the drive on the kernel.
+    from sdr_channelizer_tpu.config import PdwConfig
+
+    tracker = EventTracker(radio=radio, dwell_sec=dwell_sec,
+                           pdw_cfg=PdwConfig.event(max_pulse_samples=1024))
     log("route:", "planes (on-chip)" if tracker._use_planes else "complex (cpu)")
 
     # Warm the jit cache (first dwell pays the remote compile) and measure
