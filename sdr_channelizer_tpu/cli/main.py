@@ -475,13 +475,25 @@ def cmd_spectrogram(args) -> int:
     import jax.numpy as jnp
 
     from sdr_channelizer_tpu.config import SpectrogramConfig
-    from sdr_channelizer_tpu.dsp.spectrogram import save_png, stft_power
-    from sdr_channelizer_tpu.io.convert import load_capture
+    from sdr_channelizer_tpu.dsp.spectrogram import (
+        save_png, stft_power, stft_power_packed,
+    )
+    from sdr_channelizer_tpu.io.convert import load_capture, load_capture_raw
 
     cfg = SpectrogramConfig(window_length=args.window)
     for path in args.files:
-        iq, meta = load_capture(path)
-        power = np.asarray(stft_power(jnp.asarray(iq), cfg=cfg))
+        samples, bit_width, meta = load_capture_raw(path)
+        if samples is not None and samples.dtype in (np.int16, np.int8):
+            # Integer .iq payload: ship the packed bytes, dequant on device
+            # (same ingest as `pdw` — no host float conversion).
+            samples = np.ascontiguousarray(samples)
+            packed = (samples.view(np.int32) if samples.dtype == np.int16
+                      else samples.view(np.int16)).ravel()
+            power = np.asarray(
+                stft_power_packed(jnp.asarray(packed), bit_width, cfg=cfg))
+        else:
+            iq, meta = load_capture(path)
+            power = np.asarray(stft_power(jnp.asarray(iq), cfg=cfg))
         out = _out_path(path, args.out_dir, "_spectrogram.png")
         save_png(out, power, float(meta["fs"]), float(meta.get("fc", 0.0)),
                  cfg=cfg, title=os.path.basename(path))

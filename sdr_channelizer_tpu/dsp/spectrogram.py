@@ -5,9 +5,13 @@ Reference configuration: ``stft(iq, fs, 'Window', hamming(768),
 magnitude power, frequency axis centered on the tuned frequency
 (``y = (f + fc) MHz``), one PNG per capture.
 
-Zero overlap means the STFT is a plain reshape -> window -> FFT, which XLA
-fuses cleanly; a DFT-as-matmul Pallas path exists for the fused int->f32
-dequant + window + DFT case (window length 768 = 6*128 lanes, MXU-friendly).
+Zero overlap means the STFT is a plain reshape -> window -> DFT.  On TPU
+the DFT runs as a windowed matmul on the MXU (the window is folded into
+the DFT matrix; plain XLA, no Pallas kernel — XLA already fuses the
+reshape + dequant + matmul chain here), and :func:`stft_power_packed`
+takes the raw recorder payload (packed int16/int8 I/Q pairs) so the
+dequantization happens on device, not on the host — the same packed
+ingest contract as the PDW pipeline (``models/pipeline.py:extract_fused``).
 """
 
 from __future__ import annotations
@@ -42,25 +46,64 @@ def stft_power(
     :func:`dsp.channelizer.resolve_method`: the TPU path computes the DFT as
     a windowed matmul on the MXU (window folded into the DFT matrix).
     """
-    from sdr_channelizer_tpu.dsp.channelizer import dft_matrix, resolve_method
+    from sdr_channelizer_tpu.dsp.channelizer import resolve_method
 
     w = jnp.asarray(hamming(cfg.window_length) if window is None else window)
     length = w.shape[0]
     frames = iq.shape[-1] // length
     x = iq[..., : frames * length].reshape(*iq.shape[:-1], frames, length)
     if resolve_method(method) == "dft":
-        # Complex-free windowed DFT (four real MXU matmuls) — the TPU
-        # transport here cannot lower FFTs or complex matmuls.
-        wm = np.asarray(dft_matrix(length, shifted=True)) * np.asarray(w)[:, None]
-        wr = jnp.asarray(np.real(wm).astype(np.float32))
-        wi = jnp.asarray(np.imag(wm).astype(np.float32))
-        xr = jnp.real(x).astype(jnp.float32)
-        xi = jnp.imag(x).astype(jnp.float32)
-        sr = xr @ wr - xi @ wi
-        si = xr @ wi + xi @ wr
-        return (sr * sr + si * si).astype(jnp.float32)
+        return _windowed_dft_power_planes(
+            jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32),
+            length, np.asarray(w))
     spec = jnp.fft.fftshift(jnp.fft.fft(x * w, axis=-1), axes=-1)
     return jnp.square(jnp.abs(spec)).astype(jnp.float32)
+
+
+def _windowed_dft_power_planes(
+    xr: jax.Array, xi: jax.Array, length: int, window: np.ndarray
+) -> jax.Array:
+    """(frames, L) planes -> squared-magnitude DFT power, window folded into
+    the DFT matrix (four real MXU matmuls; complex-free — the TPU transport
+    cannot lower FFTs or complex matmuls)."""
+    from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
+
+    wm = np.asarray(dft_matrix(length, shifted=True)) * window[:, None]
+    wr = jnp.asarray(np.real(wm).astype(np.float32))
+    wi = jnp.asarray(np.imag(wm).astype(np.float32))
+    sr = xr @ wr - xi @ wi
+    si = xr @ wi + xi @ wr
+    return (sr * sr + si * si).astype(jnp.float32)
+
+
+def stft_power_packed(
+    xq: jax.Array,
+    bit_width: int,
+    window: Optional[jax.Array] = None,
+    cfg: SpectrogramConfig = SpectrogramConfig(),
+) -> jax.Array:
+    """Packed-ingest spectrogram: raw recorder payload in, power mesh out.
+
+    ``xq`` packs one interleaved (I, Q) pair per element — int32 for int16
+    payloads (``samples.view(np.int32)``), int16 for int8 payloads — the
+    same device ingest as ``extract_fused``; sign extension and the
+    ``2^-(bit_width-1)`` Q-format dequant run on device (no host float
+    conversion).  Same values as :func:`stft_power` over the dequantized
+    capture (``spectrogram_my_iq.m:92-98,114`` ingest + STFT semantics).
+    """
+    w = np.asarray(hamming(cfg.window_length) if window is None else window)
+    length = w.shape[0]
+    frames = xq.shape[-1] // length
+    x = xq[..., : frames * length].reshape(*xq.shape[:-1], frames, length)
+    scale = jnp.float32(2.0 ** -(bit_width - 1))
+    if x.dtype == jnp.int32:  # int16 I/Q pair: low half = I, high half = Q
+        xr = ((x << 16) >> 16).astype(jnp.float32) * scale
+        xi = (x >> 16).astype(jnp.float32) * scale
+    else:  # int16-packed int8 pair: low byte = I, high byte = Q
+        x32 = x.astype(jnp.int32)
+        xr = ((x32 << 24) >> 24).astype(jnp.float32) * scale
+        xi = (x32 >> 8).astype(jnp.float32) * scale
+    return _windowed_dft_power_planes(xr, xi, length, w)
 
 
 def axes_for(

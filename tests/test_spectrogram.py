@@ -69,3 +69,26 @@ def test_stft_dft_matches_fft():
     a = np.asarray(stft_power(jnp.asarray(iq), cfg=cfg, method="fft"))
     b = np.asarray(stft_power(jnp.asarray(iq), cfg=cfg, method="dft"))
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-4)
+
+
+def test_stft_power_packed_matches_float_path():
+    """Packed int16/int8 ingest (device-side dequant) equals stft_power over
+    the host-dequantized capture (spectrogram_my_iq.m:92-98 normalization)."""
+    import jax.numpy as jnp
+
+    from sdr_channelizer_tpu.io import iqpacket
+
+    rng = np.random.default_rng(3)
+    n = 1024 * 4
+    iq = (0.4 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+          ).astype(np.complex64)
+    cfg = SpectrogramConfig(window_length=256)
+    for bit_width, view in ((12, np.int32), (8, np.int16)):
+        samples = iqpacket.from_complex(iq, bit_width)
+        packed = np.ascontiguousarray(samples).view(view).ravel()
+        got = np.asarray(sg.stft_power_packed(
+            jnp.asarray(packed), bit_width, cfg=cfg))
+        deq = iqpacket.to_complex(samples, bit_width)
+        want = np.asarray(sg.stft_power(jnp.asarray(deq), cfg=cfg,
+                                        method="dft"))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

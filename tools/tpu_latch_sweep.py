@@ -8,9 +8,7 @@ Writes LATCH_SWEEP_r03.json.
 """
 import json
 import os
-import time
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

@@ -7,7 +7,6 @@ tpu_probe_r3.  Writes TAIL_BISECT_r03.json.
 """
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -15,8 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from tpu_probe_r3 import (  # noqa: E402  (device setup at import)
-    BANDS, FRAMES, K1, K2, P_SLOTS, REPS, SW, THR, cfg, graph_time, log,
-    pipe, stage_edges, stage_latch, stage_streams_cm, taps, tier_masks,
+    BANDS, FRAMES, P_SLOTS, SW, THR, cfg, graph_time, log,
+    stage_edges, stage_latch, stage_streams_cm, tier_masks,
     tiny_picks_tala, touch, part_scatter, xq,
 )
 from sdr_channelizer_tpu.ops import medians
