@@ -11,7 +11,11 @@ the same :class:`~sdr_channelizer_tpu.capture.hardware.Receiver` protocol
 behind import-guarded vendor drivers.
 """
 
-from sdr_channelizer_tpu.capture.emulator import EmulatedRadio, NativeEmulator  # noqa: F401
+from sdr_channelizer_tpu.capture.emulator import (  # noqa: F401
+    DeviceDwellEmitter,
+    EmulatedRadio,
+    NativeEmulator,
+)
 from sdr_channelizer_tpu.capture.gain_search import find_max_unsaturated_gain  # noqa: F401
 from sdr_channelizer_tpu.capture.hardware import (  # noqa: F401
     BladeRadio,

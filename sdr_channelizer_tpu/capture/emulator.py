@@ -120,6 +120,120 @@ class EmulatedRadio:
 
 
 @dataclasses.dataclass
+class DeviceDwellEmitter:
+    """Device-resident :class:`EmulatedRadio` twin: ``receive`` returns
+    ``((xr, xi), t0)`` with the dwell synthesized ON the accelerator by one
+    jitted emitter — no host synthesis and no host->device sample transfer,
+    so closed-loop drives measure the framework, not numpy (the host
+    EmulatedRadio costs ~1.8 s of synthesis per 80 ms dwell at 56 Msps,
+    TRACKER_r03.json ``gen_host``).
+
+    Same signal model and scheduling semantics as :class:`EmulatedRadio`
+    (pulse train + scanning-beam envelope + gain-scaled amplitude + ADC
+    round/clip at full scale); the noise is ``jax.random`` instead of the
+    numpy Generator and the phase accumulates in f32, so individual samples
+    differ from the host emulator — it is a signal stand-in, not a codec.
+    Pass the planes tuple straight to :class:`EventTracker` (its ``step``
+    detects device-resident dwells and skips the host copy)."""
+
+    sample_rate_sps: float = 56e6
+    tone_offset_hz: float = 5e6
+    pulse_width_sec: float = 100e-6
+    pri_sec: float = 1e-3
+    rel_amplitude: float = 1.0
+    noise_db: float = -60.0
+    gain_ref_db: float = 60.0
+    gain_db: float = 60.0
+    bit_width: int = 12
+    start_epoch: float = 0.0
+    seed: int = 1234
+    scan_period_sec: float = 0.0
+    scan_phase_sec: float = 0.0
+    scan_curvature_db_per_s2: float = 0.0
+    counters: Counters = dataclasses.field(default_factory=Counters)
+
+    def __post_init__(self):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        self._abs_index = 0
+        self._dwell_no = 0
+        fs = float(self.sample_rate_sps)
+        pri_n = max(int(round(self.pri_sec * fs)), 1)
+        pw_n = int(round(self.pulse_width_sec * fs))
+        fsc = float(2 ** (self.bit_width - 1))
+        cyc = float(self.tone_offset_hz / fs)
+        period = float(self.scan_period_sec)
+        curv = float(self.scan_curvature_db_per_s2)
+        self._pri_n = pri_n
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def emit(k0_mod, t_off, amp_db0, noise_std, key, *, n):
+            k = k0_mod + jnp.arange(n, dtype=jnp.int32)
+            km = (k % pri_n).astype(jnp.float32)
+            on = km < pw_n
+            if period > 0:
+                dt = jnp.arange(n, dtype=jnp.float32) / np.float32(fs)
+                d = jnp.mod(t_off + dt, period) - period / 2
+                env = -curv * d * d
+            else:
+                env = jnp.zeros((n,), jnp.float32)
+            amp = jnp.where(on, 10.0 ** ((amp_db0 + env) / 20.0), 0.0)
+            ph = np.float32(2.0 * np.pi * cyc) * km
+            kr, ki = jax.random.split(key)
+            s = noise_std / np.float32(np.sqrt(2))
+            raw_r = (amp * jnp.cos(ph) + s * jax.random.normal(kr, (n,))) * fsc
+            raw_i = (amp * jnp.sin(ph) + s * jax.random.normal(ki, (n,))) * fsc
+            xr = jnp.clip(jnp.round(raw_r), -fsc, fsc - 1) * (1.0 / fsc)
+            xi = jnp.clip(jnp.round(raw_i), -fsc, fsc - 1) * (1.0 / fsc)
+            return xr.astype(jnp.float32), xi.astype(jnp.float32)
+
+        self._emit = emit
+        self._key = jax.random.PRNGKey(self.seed)
+
+    @property
+    def full_scale(self) -> float:
+        return float(2 ** (self.bit_width - 1))
+
+    def receive(self, num_samples: int, start_time: Optional[float] = None):
+        import jax
+        import numpy as _np
+
+        fs = self.sample_rate_sps
+        idx = self._abs_index
+        if start_time is not None:
+            want = int(round((start_time - self.start_epoch) * fs))
+            if want > idx:
+                self.counters.add("samples_skipped", want - idx)
+            idx = max(idx, want)
+        t0 = self.start_epoch + idx / fs
+        if self.rel_amplitude > 0:
+            amp_db0 = (20.0 * _np.log10(self.rel_amplitude)
+                       + (self.gain_db - self.gain_ref_db))
+        else:
+            amp_db0 = -_np.inf
+        noise_std = 10.0 ** (
+            (self.noise_db + self.gain_db - self.gain_ref_db) / 20.0)
+        if self.scan_period_sec > 0:
+            t_off = (t0 - self.scan_phase_sec + self.scan_period_sec / 2) \
+                % self.scan_period_sec
+        else:
+            t_off = 0.0
+        key = jax.random.fold_in(self._key, self._dwell_no)
+        planes = self._emit(
+            _np.int32(idx % self._pri_n), _np.float32(t_off),
+            _np.float32(amp_db0), _np.float32(noise_std), key,
+            n=num_samples)
+        self._dwell_no += 1
+        self._abs_index = idx + num_samples
+        self.counters.add("dwells_received")
+        self.counters.add("samples_received", num_samples)
+        return planes, t0
+
+
+@dataclasses.dataclass
 class NativeEmulator:
     """Driver for the C++ ``sdr_record_emulator`` binary.
 

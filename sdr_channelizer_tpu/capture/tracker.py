@@ -7,9 +7,14 @@ Per dwell (``usrp_predict_event.cpp:208-389``):
 * saturation check on the raw samples -> gain down 1 dB (``:210-218``);
 * noise floor = **mean** magnitude (not the offline median), 20 dB
   threshold (``:288-291``) — PDW extraction runs on-device through
-  :func:`dsp.pdw.extract_pdws` with the event config;
+  :func:`dsp.pdw.extract_pdws_event`, which reproduces the C++ loop's
+  per-pulse statistics exactly: **mean** amplitude over the pulse
+  (``:312, :325-330``), not the offline median — so extraction has no
+  per-pulse window bound and needs no selection kernels (prefix sums);
 * more than ``min_pulses_for_fit`` pulses -> quadratic least-squares fit of
-  SNR vs TOA; the event is the parabola peak (``:28-52, :348-352``);
+  SNR vs TOA; the event is the parabola peak (``:28-52, :348-352``) — the
+  fit runs ON DEVICE (``dsp.events.quadratic_peak_time_masked``) so the
+  per-dwell packed fetch is the tracker's only host sync;
 * more than ``min_events_for_pri`` events -> next event = last event +
   median of event diffs (``:354-373``);
 * feedback: the next dwell is scheduled at ``next_event - dwell/2``
@@ -64,16 +69,21 @@ class EventTracker:
 
     def __post_init__(self):
         cfg = self.pdw_cfg
+        fs = float(self.radio.sample_rate_sps)
 
-        def _pack(batch, sat):
+        def _pack(batch, sat, event_rel):
             """One f32 array carrying everything the host loop needs —
             ONE device->host fetch per dwell (each fetch costs a full
-            round-trip on remote transports, ~0.4 s on the tunnel)."""
+            round-trip on remote transports, ~0.4 s on the tunnel).
+            Row 0 head: [count, saturated, event_time_rel]; rows 1-2:
+            per-pulse TOA indices and SNRs (for reporting/offline use —
+            the quadratic fit itself already ran on device)."""
             head = jnp.stack([
                 batch.count.astype(jnp.float32),
                 sat.astype(jnp.float32),
+                event_rel.astype(jnp.float32),
             ])
-            head = jnp.pad(head, (0, cfg.max_pulses - 2))
+            head = jnp.pad(head, (0, cfg.max_pulses - head.shape[0]))
             return jnp.stack([
                 head,
                 jnp.where(batch.valid, batch.toa_idx.astype(jnp.float32),
@@ -81,28 +91,42 @@ class EventTracker:
                 batch.snr_db,
             ])
 
+        def _extract_streams(mag, sat_mask):
+            """Mean noise floor (:288-289) + the mean-amplitude event-mode
+            extractor (the C++ tracker's exact per-pulse statistics,
+            :300-343 — no per-pulse window bound, no Pallas dependence) +
+            the quadratic SNR-vs-TOA fit folded on device
+            (:28-52, :348-352) so the packed fetch is the only sync."""
+            noise_floor = jnp.mean(mag)
+            batch = pdwmod._extract_event_core(
+                mag, sat_mask, noise_floor,
+                snr_threshold_db=cfg.snr_threshold_db,
+                max_pulses=cfg.max_pulses,
+            )
+            toa_rel = (batch.toa_idx.astype(jnp.float32) + 1.0) / fs
+            event_rel = eventsmod.quadratic_peak_time_masked(
+                toa_rel, batch.snr_db, batch.valid)
+            # Whole-dwell saturation trips the gain feedback; the C++ flag
+            # is set on in-pulse samples only (:336-340), but a saturated
+            # sample is >= 0.9999 full scale and therefore inside a pulse
+            # region for any plausible threshold — same decisions.
+            return _pack(batch, jnp.any(sat_mask), event_rel)
+
         @jax.jit
         def _extract(x):
             mag = jnp.abs(x)
-            noise_floor = jnp.mean(mag)  # MEAN, not median (:288-289)
-            batch = pdwmod.extract_pdws(x, cfg, noise_floor=noise_floor)
-            sat = jnp.any(
-                (jnp.abs(x.real) >= self.saturation_level)
-                | (jnp.abs(x.imag) >= self.saturation_level)
-            )
-            return _pack(batch, sat)
+            sat_mask = ((jnp.abs(x.real) >= self.saturation_level)
+                        | (jnp.abs(x.imag) >= self.saturation_level))
+            return _extract_streams(mag, sat_mask)
 
         @jax.jit
         def _extract_planes(xr, xi):
             # Complex-free twin for transports without complex h2d (the
             # real-TPU path, tools/tpu_tracker_drive.py).
-            mag, ph, sats = pdwmod._prep_streams_planes(
-                xr, xi, self.saturation_level)
-            noise_floor = jnp.mean(mag)
-            batch = pdwmod._extract_wideband_from_streams(
-                mag, ph, sats, cfg, noise_floor)
-            sat = jnp.any(sats)
-            return _pack(batch, sat)
+            mag = jnp.sqrt(xr * xr + xi * xi)
+            sat_mask = ((jnp.abs(xr) >= self.saturation_level)
+                        | (jnp.abs(xi) >= self.saturation_level))
+            return _extract_streams(mag, sat_mask)
 
         self._extract = _extract
         self._extract_planes = _extract_planes
@@ -119,7 +143,11 @@ class EventTracker:
             start = self.next_event_time - self.dwell_sec / 2  # :229-241
         iq, t0 = self.radio.receive(dwell_n, start_time=start)
 
-        if self._use_planes:
+        if isinstance(iq, tuple):
+            # Device-resident planes (DeviceDwellEmitter): no host copy at
+            # all — the packed fetch below is the dwell's only transfer.
+            packed = self._extract_planes(*iq)
+        elif self._use_planes:
             iq = np.asarray(iq)
             packed = self._extract_planes(
                 jnp.asarray(np.ascontiguousarray(iq.real, np.float32)),
@@ -138,11 +166,8 @@ class EventTracker:
 
         self.counters.add("pulses_emitted", n_pulses)
         event_t = None
-        valid = packed[1] >= 0
-        toa_rel = (packed[1][valid] + 1) / fs
-        snr = packed[2][valid]
+        t_peak = float(packed[0, 2])  # fitted on device
         if n_pulses > self.event_cfg.min_pulses_for_fit:  # :348
-            t_peak = eventsmod.quadratic_peak_time(toa_rel, snr)
             if np.isfinite(t_peak):
                 event_t = t0 + t_peak
                 self.events.append(event_t)

@@ -69,13 +69,21 @@ def quadratic_peak_time_masked(
     tmean = jnp.sum(toa * w) / jnp.maximum(n, 1.0)
     t = (toa - tmean) * w
     v = snr * w
-    # Vandermonde columns [1, t, t^2] restricted to valid entries.
-    cols = jnp.stack([w, t, t * t], axis=-1)
-    a = cols.T @ cols
-    b = cols.T @ v[:, None]
-    p = jnp.linalg.solve(a, b)[:, 0]  # p0 + p1 t + p2 t^2
-    peak = tmean - p[1] / (2.0 * p[2])
-    bad = (n < 3) | (p[2] == 0.0)
+    # 3x3 normal equations solved in closed form (Cramer) — elementwise ops
+    # only, so the fit lowers on TPU transports without a linalg custom
+    # call (jnp.linalg.solve does not).  Moments of the centered TOAs:
+    s0, s1 = n, jnp.sum(t)
+    s2, s3, s4 = jnp.sum(t * t), jnp.sum(t ** 3), jnp.sum(t ** 4)
+    b0, b1, b2 = jnp.sum(v), jnp.sum(t * v), jnp.sum(t * t * v)
+    det = (s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s2 * s3)
+           + s2 * (s1 * s3 - s2 * s2))
+    # Only p1, p2 are needed for the peak -p1/(2 p2).
+    p1 = (s0 * (b1 * s4 - s3 * b2) - s1 * (b0 * s4 - s2 * b2)
+          + s2 * (b0 * s3 - s2 * b1)) / det
+    p2 = (s0 * (s2 * b2 - b1 * s3) - s1 * (s1 * b2 - b0 * s3)
+          + s2 * (s1 * b1 - b0 * s2)) / det
+    peak = tmean - p1 / (2.0 * p2)
+    bad = (n < 3) | (p2 == 0.0) | (det == 0.0)
     return jnp.where(bad, jnp.nan, peak)
 
 

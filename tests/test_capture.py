@@ -155,3 +155,36 @@ def test_radio_timed_dwell_counts_skip():
     r.receive(1000)
     r.receive(1000, start_time=100.5)  # fast-forward to t=+0.5s
     assert r.counters.get("samples_skipped") == 500000 - 1000
+
+
+def test_device_dwell_emitter_matches_radio_physics():
+    """The jitted on-device emitter reproduces the EmulatedRadio signal
+    model (duty cycle, amplitude, scan envelope) and drives the tracker
+    closed loop with zero host synthesis."""
+    kw = dict(sample_rate_sps=1e6, tone_offset_hz=0.13e6,
+              pulse_width_sec=10e-6, pri_sec=5e-3, gain_db=60.0,
+              rel_amplitude=0.9, noise_db=-55.0,
+              scan_period_sec=0.5, scan_phase_sec=0.1,
+              scan_curvature_db_per_s2=2000.0)
+    from sdr_channelizer_tpu.capture import DeviceDwellEmitter
+
+    dev = DeviceDwellEmitter(**kw)
+    host = EmulatedRadio(**kw)
+    (xr, xi), t0 = dev.receive(80000, start_time=0.06)
+    iq_h, t0_h = host.receive(80000, start_time=0.06)
+    assert t0 == t0_h
+    mag_d = np.hypot(np.asarray(xr), np.asarray(xi))
+    mag_h = np.abs(iq_h)
+    on_d, on_h = mag_d > 0.05, mag_h > 0.05
+    assert abs(on_d.mean() - on_h.mean()) < 1e-3  # same duty cycle
+    # same peak envelope near the scan event at t=0.1
+    np.testing.assert_allclose(mag_d[on_d].max(), mag_h[on_h].max(),
+                               rtol=0.05)
+    # timed-dwell fast forward + counters behave like the host radio
+    dev.receive(1000, start_time=1.0)
+    assert dev.counters.get("samples_skipped") > 0
+
+    tr = EventTracker(radio=DeviceDwellEmitter(**kw), dwell_sec=0.08)
+    reports = tr.run(12)
+    assert sum(r.num_pulses for r in reports) > 0
+    assert len(tr.events) > 0  # dwells spanning the beam peak fit events

@@ -3,22 +3,28 @@
 The tracker (``capture/tracker.py``) is the rebuild of the reference's only
 real-time native DSP (``usrp_predict_event.cpp:208-389``: dwell -> mean
 noise floor -> 20 dB PDWs -> quadratic SNR fit -> median-PRI schedule ->
-timed next dwell).  Round 2 validated it on CPU only; this tool runs ~20
-dwells against the scanning-beam ``EmulatedRadio`` at the reference's
-56 Msps with extraction ON CHIP (complex-free planes ingest; one packed
-device fetch per dwell) and records per-dwell wall latency.
+timed next dwell).  Round-4 configuration:
+
+* dwells are synthesized ON DEVICE (``capture.DeviceDwellEmitter``) — no
+  host synthesis (round 3's 1.8 s/dwell ``gen_host``) and no host->device
+  sample transfer;
+* extraction is the event-mode mean-amplitude path
+  (``dsp.pdw.extract_pdws_event`` — the C++ loop's exact statistics,
+  prefix sums, no window bound, no Pallas) with the quadratic fit folded
+  on device, so the per-dwell packed fetch is the only sync.
 
 Reported per dwell:
-  * ``gen``      — host signal synthesis (the radio stand-in; not pipeline)
-  * ``extract``  — h2d + on-chip extraction + the single packed fetch
-  * ``fit``      — host-side quadratic fit + median-PRI schedule
+  * ``gen_device`` — synced on-device dwell synthesis cost (measured
+    separately; inside the loop the emit overlaps the extract dispatch)
+  * ``extract``  — tracker step minus the receive dispatch: on-chip
+    extraction + the single packed fetch
   * ``total``    — tracker step wall
 plus the measured tunnel fence (round-trip) so ``extract - fence``
 approximates what a co-located host would see.  "Real-time" = extract p95
 below the dwell duration (the reference receives continuously; processing
 must keep up with the dwell rate).
 
-Single TPU process only (single-client tunnel).  Writes TRACKER_r03.json.
+Single TPU process only (single-client tunnel).  Writes TRACKER_r04.json.
 """
 import json
 import os
@@ -38,7 +44,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from sdr_channelizer_tpu.capture import EmulatedRadio, EventTracker
+    from sdr_channelizer_tpu.capture import DeviceDwellEmitter, EventTracker
+    from sdr_channelizer_tpu.utils.profiling import sync_device
 
     fs = float(os.environ.get("TRACKER_FS", 56e6))
     dwell_sec = float(os.environ.get("TRACKER_DWELL", 0.08))
@@ -48,7 +55,7 @@ def main():
     log("device:", dev.platform, dev.device_kind)
 
     period = 0.5
-    radio = EmulatedRadio(
+    radio = DeviceDwellEmitter(
         sample_rate_sps=fs,
         tone_offset_hz=5e6 * (fs / 56e6),
         pulse_width_sec=10e-6,
@@ -61,27 +68,19 @@ def main():
         scan_curvature_db_per_s2=2000.0,
     )
 
-    gen_times = []
+    recv_dispatch = []
     orig_receive = radio.receive
 
     def timed_receive(n, start_time=None):
         t0 = time.perf_counter()
         out = orig_receive(n, start_time=start_time)
-        gen_times.append(time.perf_counter() - t0)
+        recv_dispatch.append(time.perf_counter() - t0)
         return out
 
     radio.receive = timed_receive
 
-    # The event config's default max_pulse_samples=4096 routes stats to the
-    # exact-but-slow XLA formulation on TPU (the pulse_stats kernel's
-    # window tops VMEM past 1024 — dsp/pdw.py:_stats_window_rows_ok).  The
-    # emulated pulses are 10 us * 56 Msps = 560 samples, so a 1024-sample
-    # window computes the SAME medians and keeps the drive on the kernel.
-    from sdr_channelizer_tpu.config import PdwConfig
-
-    tracker = EventTracker(radio=radio, dwell_sec=dwell_sec,
-                           pdw_cfg=PdwConfig.event(max_pulse_samples=1024))
-    log("route:", "planes (on-chip)" if tracker._use_planes else "complex (cpu)")
+    tracker = EventTracker(radio=radio, dwell_sec=dwell_sec)
+    log("route: device-generated dwell + on-chip mean-amp extract + fit")
 
     # Warm the jit cache (first dwell pays the remote compile) and measure
     # the tunnel fence with a scalar fetch.
@@ -98,26 +97,33 @@ def main():
     fence = min(fences)
     log(f"tunnel fence: {fence*1e3:.0f} ms")
 
-    gen_times.clear()
-    totals, extracts, fits, pulses, events = [], [], [], [], []
+    # Synced on-device generation cost (emit + sync, minus fence): inside
+    # the tracker loop the emit is dispatched asynchronously and overlaps
+    # the extract, so it is measured standalone here.
+    dwell_n = int(round(dwell_sec * fs))
+    gen_synced = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        planes, _ = orig_receive(dwell_n)
+        sync_device(planes)
+        gen_synced.append(max(time.perf_counter() - t0 - fence, 0.0))
+    gen_dev = float(np.median(gen_synced))
+    log(f"gen_device (synced, minus fence): {gen_dev*1e3:.1f} ms")
+
+    recv_dispatch.clear()
+    totals, extracts, pulses = [], [], []
+    tracker.events.clear()
+    tracker.next_event_time = None
     for k in range(n_dwells):
         t0 = time.perf_counter()
         rep = tracker.step()
         total = time.perf_counter() - t0
-        gen = gen_times[-1]
-        # step = receive(gen) + extract(+fetch) + fit/schedule; fit is the
-        # numpy tail — attribute everything after gen minus a measured fit.
-        t1 = time.perf_counter()
-        # re-run the host fit cost on this dwell's sizes (tiny)
-        fit = time.perf_counter() - t1
-        extract = total - gen
+        extract = total - recv_dispatch[-1]
         totals.append(total)
         extracts.append(extract)
-        fits.append(fit)
         pulses.append(rep.num_pulses)
-        if rep.event_time is not None:
-            events.append(rep.event_time)
-        log(f"dwell {k:2d}: total {total*1e3:7.1f} ms  gen {gen*1e3:6.1f}  "
+        log(f"dwell {k:2d}: total {total*1e3:7.1f} ms  "
+            f"recv-dispatch {recv_dispatch[-1]*1e3:6.1f}  "
             f"extract {extract*1e3:7.1f}  pulses {rep.num_pulses:4d}  "
             f"next={rep.next_event_time}")
 
@@ -135,7 +141,7 @@ def main():
         "fs_msps": fs / 1e6,
         "dwell_sec": dwell_sec,
         "n_dwells": n_dwells,
-        "route": "planes_onchip" if tracker._use_planes else "cpu_complex",
+        "route": "device_gen + onchip mean-amp extract + onchip fit",
         "tunnel_fence_ms": round(fence * 1e3, 1),
         "first_dwell_incl_compile_s": round(compile_s, 1),
         "total": stats(totals),
@@ -144,7 +150,8 @@ def main():
             "p50_ms": round((np.percentile(extracts, 50) - fence) * 1e3, 1),
             "p95_ms": round((extract_p95 - fence) * 1e3, 1),
         },
-        "gen_host": stats(gen_times),
+        "gen_device_synced_ms": round(gen_dev * 1e3, 1),
+        "gen_under_dwell": gen_dev < dwell_sec,
         "pulses_per_dwell_p50": float(np.median(pulses)),
         "events_fitted": int(len(ev)),
         "scan_period_recovered": bool(len(ev) > 3
@@ -158,9 +165,9 @@ def main():
         if hasattr(tracker.counters, "snapshot") else None,
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "TRACKER_r03.json"), "w") as f:
+    with open(os.path.join(repo, "TRACKER_r04.json"), "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
-    log("wrote TRACKER_r03.json")
+    log("wrote TRACKER_r04.json")
     log(json.dumps(payload, indent=1, sort_keys=True))
 
 
