@@ -789,6 +789,161 @@ def _extract_channelized_pallas_stats(
     )
 
 
+def noise_floor_cm(mag_cm: jax.Array, m: int, t_len: int,
+                   bits: int = 4) -> jax.Array:
+    """Per-channel median noise floor from the channel-major magnitude
+    stream (``create_pdws_channelized.m:73`` semantics — exact median over
+    the whole capture).  Pad columns past ``t_len`` are masked out; the
+    select path uses the ``bits``-per-pass value-space descent (8 HBM
+    passes at bits=4 instead of 32)."""
+    rows = mag_cm[:m]
+    if mag_cm.shape[1] == t_len:
+        return medians.median(rows, axis=1, bits=bits)
+    mask = jnp.arange(mag_cm.shape[1]) < t_len
+    return medians.masked_median(rows, mask[None, :], axis=1, bits=bits)
+
+
+def _extract_channelized_cm2(
+    mag_cm: jax.Array,
+    dph_cm: jax.Array,
+    satcs_cm: jax.Array,
+    cfg: PdwConfig,
+    noise_floor: jax.Array,
+    t_len: int,
+    m: int,
+) -> PdwBatch:
+    """v2 channel-major extraction — the round-4 headline tail.
+
+    Inputs are the fused channelizer kernel's v2 streams
+    (``pallas_channelize_streams_packed_cm2``): channel-major magnitude and
+    wrapped phase diff plus the saturation **cumsum**.  Structural changes
+    vs :func:`_extract_channelized_pallas_stats` (identical emitted PDWs —
+    same order statistics, thresholds, and slot layout):
+
+    * the latch runs channel-major (``pallas_latch_cumsums_cm``): no MXU
+      transpose flips, and for M <= 64 lead+trail cumsums pack into ONE
+      (128, T) array so the rank search is a single ``find_ranks_cm`` call;
+    * NO flat cross-channel compaction: the short/long stats tiers run on
+      the per-channel (M, p_slots) slot grid with tier-masked sentinels —
+      the kernel's per-tile live flags skip empty tiles, so the two
+      cumsum+scatter compaction passes (+ the merge gather) disappear from
+      the graph.  Worst-case (every tile mixed-tier) the kernel visits the
+      same tiles the compacted form would have packed; typical captures
+      visit the handful of tiles their real pulses occupy;
+    * saturation comes from the cumsum: two ``take_along_axis`` gathers
+      per slot (interior count ``S[te-1] - S[toa]``) instead of a third
+      whole-window DMA per kernel slot.
+    """
+    from sdr_channelizer_tpu.ops.pallas.latch_kernel import (
+        pallas_latch_cumsums_cm,
+    )
+    from sdr_channelizer_tpu.ops.pallas.pulse_stats_kernel import (
+        TILE,
+        pulse_stats,
+        stats_kernel_feasible,
+    )
+    from sdr_channelizer_tpu.ops.rank_find import find_ranks_cm
+
+    max_pulses = cfg.max_pulses
+    w = cfg.max_pulse_samples
+    p_slots = ((max_pulses + TILE - 1) // TILE) * TILE
+    r = mag_cm.shape[0]
+
+    lead_thresh = noise_floor * 10.0 ** (cfg.snr_threshold_db / 10.0)
+    if cfg.trailing_threshold_db is None:
+        trail_thresh = lead_thresh
+    else:
+        trail_thresh = noise_floor * 10.0 ** (cfg.trailing_threshold_db / 10.0)
+
+    cums = pallas_latch_cumsums_cm(mag_cm, lead_thresh, trail_thresh, m)
+    ranks1 = jnp.arange(1, p_slots + 1, dtype=jnp.float32)
+    if not isinstance(cums, tuple):
+        # Packed pair: rows [0, R/2) lead, [R/2, R) trail — one search.
+        half = r // 2
+        ranks = jnp.broadcast_to(ranks1[None, :], (r, p_slots))
+        idx = find_ranks_cm(cums, ranks, t_len)
+        toa_idx = idx[:m]
+        te_idx = idx[half:half + m]
+        n_own = cums[:m, t_len - 1].astype(jnp.int32)
+    else:
+        cl_cm, ct_cm = cums
+        ranks = jnp.broadcast_to(ranks1[None, :], (m, p_slots))
+        toa_idx = find_ranks_cm(cl_cm[:m], ranks, t_len)
+        te_idx = find_ranks_cm(ct_cm[:m], ranks, t_len)
+        n_own = cl_cm[:m, t_len - 1].astype(jnp.int32)
+    # Pin the rank-search outputs: the tail's many consumers share ONE
+    # materialized copy instead of re-running the cumsum reads
+    # (TAIL_BISECT_r03.json v_bar, -0.6 ms/step).
+    toa_idx, te_idx = jax.lax.optimization_barrier((toa_idx, te_idx))
+
+    matched = (jnp.arange(p_slots)[None, :] < n_own[:, None]) & (te_idx < t_len)
+    count = jnp.minimum(jnp.sum(matched, axis=1), max_pulses).astype(jnp.int32)
+    valid = jnp.arange(p_slots)[None, :] < count[:, None]
+
+    plen = te_idx - toa_idx + 1
+    valid_slot = toa_idx < t_len
+    closed = valid_slot & (te_idx < t_len)
+    safe_toa = jnp.minimum(toa_idx, t_len - 1)
+    safe_te = jnp.minimum(te_idx, t_len - 1)
+
+    # Tiny tier: closed-form picks (no kernel slots), as in v1.
+    mag_a = jnp.take_along_axis(mag_cm[:m], safe_toa, axis=1)
+    mag_b = jnp.take_along_axis(mag_cm[:m], safe_te, axis=1)
+    tiny_mag = jnp.where(plen >= 2, 0.5 * (mag_a + mag_b), mag_a)
+    tiny_dph = jnp.where(
+        plen >= 2, jnp.take_along_axis(dph_cm[:m], safe_toa, axis=1),
+        jnp.float32(np.nan))
+
+    # Saturation from the cumsum: interior samples toa+1 .. te-1 have count
+    # S[te-1] - S[toa] (S inclusive) — exact for every tier incl. tiny
+    # (plen <= 2 has an empty interior and the difference is 0).
+    s_hi = jnp.take_along_axis(satcs_cm[:m], jnp.maximum(safe_te - 1, 0),
+                               axis=1)
+    s_lo = jnp.take_along_axis(satcs_cm[:m], safe_toa, axis=1)
+    sat_any = (s_hi - s_lo) > 0.5
+
+    sw = _SHORT_WINDOW
+    sentinel = jnp.int32(t_len)
+    if w > sw and stats_kernel_feasible(t_len, sw):
+        is_tiny = closed & (plen <= 2)
+        is_short = closed & ~is_tiny & (plen <= sw)
+        is_long = valid_slot & ~is_tiny & ~is_short
+
+        def tier(sel, window):
+            t_sel = jnp.where(sel, toa_idx, sentinel)
+            e_sel = jnp.where(sel, te_idx, sentinel)
+            mm, dd, _ = pulse_stats(mag_cm, dph_cm, None, t_sel, e_sel,
+                                    window=window, t_len=t_len)
+            return mm, dd
+
+        s_mag, s_dph = tier(is_short, sw)
+        l_mag, l_dph = tier(is_long, w)
+        med_mag = jnp.where(is_tiny, tiny_mag,
+                            jnp.where(is_short, s_mag, l_mag))
+        med_dph = jnp.where(is_tiny, tiny_dph,
+                            jnp.where(is_short, s_dph, l_dph))
+    else:
+        med_mag, med_dph, _ = pulse_stats(
+            mag_cm, dph_cm, None, toa_idx, te_idx, window=w, t_len=t_len)
+
+    snr = 10.0 * jnp.log10(med_mag / noise_floor[:, None])
+    zero = jnp.zeros((), jnp.float32)
+    sl = slice(None), slice(0, max_pulses)
+    valid_s = valid[sl]
+    return PdwBatch(
+        toa_idx=jnp.where(valid_s, toa_idx[sl], -1),
+        te_idx=jnp.where(valid_s, te_idx[sl], -1),
+        pw_sec=jnp.where(valid_s,
+                         (te_idx[sl] - toa_idx[sl]).astype(jnp.float32), zero),
+        mag=jnp.where(valid_s, med_mag[sl], zero),
+        snr_db=jnp.where(valid_s, snr[sl], zero),
+        freq_offset_hz=jnp.where(valid_s, med_dph[sl] / 360.0, zero),
+        saturated=jnp.where(valid_s, sat_any[sl], False),
+        valid=valid_s,
+        count=count,
+    )
+
+
 def _extract_wideband_blocked(
     mag: jax.Array,
     phase_deg: jax.Array,

@@ -75,19 +75,41 @@ class ChannelizerPipeline:
         return yr, yi, nf, batch
 
     def forward_fused(
-        self, xr: jax.Array, xi: jax.Array, bit_width: int = 0
+        self, xr: jax.Array, xi: jax.Array, bit_width: int = 0,
+        route: str = "auto",
     ) -> Tuple[jax.Array, jax.Array, PdwBatch]:
         """Fused-kernel forward step: raw int16 (or f32) planes ->
         (noise_floor, mag, PdwBatch) with the dequant + channelizer + stream
-        prep in one Pallas pass (``ops/pallas/channelizer_kernel.py``)."""
+        prep in one Pallas pass (``ops/pallas/channelizer_kernel.py``).
+
+        ``route``: ``"auto"`` (cm2 when the capture fits the pulse-stats
+        kernel), ``"cm2"`` (v2 channel-major tail — see
+        ``dsp/pdw.py:_extract_channelized_cm2``; the middle return value is
+        then the (128k, T_pad) channel-major magnitude, not time-major),
+        ``"cm"`` (round-3 channel-major tail), ``"flat"`` (time-major
+        streams + per-backend stats routing).
+        """
         from sdr_channelizer_tpu.ops.pallas.channelizer_kernel import (
             pallas_channelize_streams,
             pallas_channelize_streams_cm,
+            pallas_channelize_streams_cm2,
         )
 
         m = self.channelizer.num_bands
         t_len = xr.shape[-1] // m
-        if pdwmod._pallas_stats_ok(t_len, self.pdw_cfg):
+        ok = pdwmod._pallas_stats_ok(t_len, self.pdw_cfg)
+        if route == "auto":
+            route = "cm2" if ok else "flat"
+        if route == "cm2" and ok:
+            mag_cm, dph_cm, satcs_cm = pallas_channelize_streams_cm2(
+                xr, xi, self.channelizer.taps_rev, bit_width=bit_width,
+                sat_level=self.pdw_cfg.saturation_level,
+            )
+            nf = pdwmod.noise_floor_cm(mag_cm, m, t_len)
+            batch = pdwmod._extract_channelized_cm2(
+                mag_cm, dph_cm, satcs_cm, self.pdw_cfg, nf, t_len, m)
+            return nf, mag_cm, batch
+        if route == "cm" and ok:
             mag, mag_cm, dph_cm, sat_cm = pallas_channelize_streams_cm(
                 xr, xi, self.channelizer.taps_rev, bit_width=bit_width,
                 sat_level=self.pdw_cfg.saturation_level,
@@ -108,22 +130,36 @@ class ChannelizerPipeline:
         return nf, mag, batch
 
     def forward_packed(
-        self, xq: jax.Array, bit_width: int
+        self, xq: jax.Array, bit_width: int, route: str = "auto"
     ) -> Tuple[jax.Array, jax.Array, PdwBatch]:
         """Like :meth:`forward_fused` but on the raw recorder payload:
         ``xq`` is the (N, 2) int16 I/Q buffer viewed as one int32 plane —
         on-disk bytes straight to the device, deinterleave + dequant
         in-kernel.  When the capture fits the pulse-stats kernel, the
         channelizer kernel emits the channel-major detection streams
-        directly (no separate transpose pass)."""
+        directly (no separate transpose pass).  ``route`` as in
+        :meth:`forward_fused`."""
         from sdr_channelizer_tpu.ops.pallas.channelizer_kernel import (
             pallas_channelize_streams_packed,
             pallas_channelize_streams_packed_cm,
+            pallas_channelize_streams_packed_cm2,
         )
 
         m = self.channelizer.num_bands
         t_len = xq.shape[-1] // m
-        if pdwmod._pallas_stats_ok(t_len, self.pdw_cfg):
+        ok = pdwmod._pallas_stats_ok(t_len, self.pdw_cfg)
+        if route == "auto":
+            route = "cm2" if ok else "flat"
+        if route == "cm2" and ok:
+            mag_cm, dph_cm, satcs_cm = pallas_channelize_streams_packed_cm2(
+                xq, self.channelizer.taps_rev, bit_width=bit_width,
+                sat_level=self.pdw_cfg.saturation_level,
+            )
+            nf = pdwmod.noise_floor_cm(mag_cm, m, t_len)
+            batch = pdwmod._extract_channelized_cm2(
+                mag_cm, dph_cm, satcs_cm, self.pdw_cfg, nf, t_len, m)
+            return nf, mag_cm, batch
+        if route == "cm" and ok:
             mag, mag_cm, dph_cm, sat_cm = pallas_channelize_streams_packed_cm(
                 xq, self.channelizer.taps_rev, bit_width=bit_width,
                 sat_level=self.pdw_cfg.saturation_level,
@@ -147,10 +183,10 @@ class ChannelizerPipeline:
         self._jit_forward = jax.jit(self.forward)
         self._jit_forward_planes = jax.jit(self.forward_planes)
         self._jit_forward_fused = jax.jit(
-            self.forward_fused, static_argnames=("bit_width",)
+            self.forward_fused, static_argnames=("bit_width", "route")
         )
         self._jit_forward_packed = jax.jit(
-            self.forward_packed, static_argnames=("bit_width",)
+            self.forward_packed, static_argnames=("bit_width", "route")
         )
 
     def step(self, x: jax.Array) -> Tuple[jax.Array, jax.Array, PdwBatch]:

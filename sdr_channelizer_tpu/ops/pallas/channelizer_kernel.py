@@ -248,7 +248,8 @@ def _atan2(y, x):
 def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
                     *refs, block_frames: int, taps_per_band: int,
                     scale: float, sat_level: float, packed: bool = False,
-                    channel_major: bool = False, t_len: int = 0):
+                    channel_major: bool = False, t_len: int = 0,
+                    cm2: bool = False):
     """Fused channelize + detection-stream kernel: int16 (or f32) planes in;
     magnitude, phase (degrees), and saturation-mask blocks out.
 
@@ -274,7 +275,16 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
     n_blocks = pl.num_programs(0)
     extra = 8 if channel_major else 0
     win = _win_rows(t_blk + extra, p)  # sublane-tiling-aligned DMA window
-    if channel_major:
+    if cm2:
+        # v2 cm route: NO time-major magnitude output (the noise floor and
+        # latch read the cm stream), saturation emitted as an inclusive
+        # per-channel CUMSUM along time (carried across blocks) so the
+        # stats stage can flag pulses with two gathers instead of a third
+        # whole-window DMA per slot.
+        eye_ref = refs[0]
+        mag_cm_ref, dph_cm_ref, satcs_cm_ref = refs[1:4]
+        buf_r, buf_i, sems, sat_carry = refs[4:]
+    elif channel_major:
         eye_ref = refs[0]
         mag_ref, mag_cm_ref, dph_cm_ref, sat_cm_ref = refs[1:5]
         buf_r, buf_i, sems = refs[5:]
@@ -366,7 +376,8 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
         sat_ref[...] = sat
         return
 
-    mag_ref[...] = mag[:t_blk]
+    if not cm2:
+        mag_ref[...] = mag[:t_blk]
     # Wrapped phase diff (same op order as the XLA path -> bit-identical),
     # zeroed at/past the reference's trailing zero row t_len - 1.
     d = ph[1 : 1 + t_blk, :] - ph[0:t_blk, :]
@@ -384,18 +395,36 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
 
     eye = eye_ref[...]
 
-    def flip(blk_tm, out_ref):
+    def flip_val(blk_tm):
         # (t_blk, 128) -> (128, t_blk): per-128-row-tile MXU transpose
         # (f32 identity matmuls at HIGHEST precision are exact).
         tiles = [
             _TDOT(blk_tm[k * 128 : (k + 1) * 128, :], eye)
             for k in range(t_blk // 128)
         ]
-        out_ref[...] = jnp.concatenate(tiles, axis=1)
+        return jnp.concatenate(tiles, axis=1)
 
-    flip(mag_live, mag_cm_ref)
-    flip(d, dph_cm_ref)
-    flip(sat_live, sat_cm_ref)
+    mag_cm_ref[...] = flip_val(mag_live)
+    dph_cm_ref[...] = flip_val(d)
+    if not cm2:
+        sat_cm_ref[...] = flip_val(sat_live)
+        return
+
+    # Inclusive per-channel saturation cumsum along time, carried across
+    # the (sequential) grid: counts < 2^24 stay f32-exact.
+    @pl.when(i == 0)
+    def _():
+        sat_carry[...] = jnp.zeros_like(sat_carry)
+
+    sc = flip_val(sat_live)
+    lane = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+    s = 1
+    while s < t_blk:
+        sc = sc + jnp.where(lane >= s, pltpu.roll(sc, s, axis=1), 0.0)
+        s <<= 1
+    sc = sc + sat_carry[:, 0:1]
+    satcs_cm_ref[...] = sc
+    sat_carry[:, 0:1] = sc[:, t_blk - 1 : t_blk]
 
 
 @functools.partial(
@@ -502,6 +531,138 @@ def _pallas_fir_dft_streams_cm(
         interpret=interpret,
     )(xr, xi, taps, wr, wi,
       jnp.asarray(np.eye(128, dtype=np.float32)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_frames", "scale", "sat_level", "interpret",
+                     "packed", "t_len"),
+)
+def _pallas_fir_dft_streams_cm2(
+    xr, xi, taps, wr, wi, *,
+    block_frames: int, scale: float, sat_level: float, t_len: int,
+    interpret: bool = False, packed: bool = False,
+):
+    """v2 channel-major variant: returns ``(mag_cm, dph_cm, satcs_cm)`` —
+    NO time-major output (67 MB less HBM write per 16.7M-sample step; the
+    noise floor and latch consume the cm stream directly) and saturation
+    as an inclusive per-channel cumsum (the stats stage then needs two
+    gathers per pulse instead of a third whole-window DMA per slot)."""
+    p, m = taps.shape
+    win = _win_rows(block_frames + 8, p)
+    n_frames = xr.shape[0] - (win - block_frames)
+    assert n_frames % block_frames == 0
+    n_blocks = n_frames // block_frames
+
+    kernel = functools.partial(
+        _streams_kernel, block_frames=block_frames, taps_per_band=p,
+        scale=scale, sat_level=sat_level, packed=packed,
+        channel_major=True, t_len=t_len, cm2=True,
+    )
+    out_cm = pl.BlockSpec((m, block_frames), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # taps
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wr
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wi
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # identity
+        ],
+        out_specs=[out_cm, out_cm, out_cm],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, n_frames), jnp.float32),
+            jax.ShapeDtypeStruct((m, n_frames), jnp.float32),
+            jax.ShapeDtypeStruct((m, n_frames), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, win, m), xr.dtype),
+            pltpu.VMEM((2, win, m), xi.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((m, 128), jnp.float32),  # sat cumsum carry
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xr, xi, taps, wr, wi,
+      jnp.asarray(np.eye(128, dtype=np.float32)))
+
+
+def pallas_channelize_streams_packed_cm2(
+    xq: jax.Array,
+    taps_rev: np.ndarray,
+    bit_width: int = 12,
+    sat_level: float = 0.9999,
+    shift: bool = True,
+    block_frames: int = 1024,
+    interpret: bool = False,
+):
+    """Packed ingest -> v2 channel-major detection streams.
+
+    Returns ``(mag_cm, dph_cm, satcs_cm)``: the three ``(128k, T_pad)``
+    channel-major streams with saturation as an inclusive time cumsum and
+    NO time-major magnitude (the v2 PDW route's whole front end —
+    ``dsp/pdw.py:_extract_channelized_cm2``).  ``xq`` packs one (I, Q)
+    pair per element as in :func:`pallas_channelize_streams_packed`."""
+    p, m = taps_rev.shape
+    n_frames = xq.shape[-1] // m
+    scale = float(2.0 ** -(bit_width - 1))
+    interpret = interpret or jax.devices()[0].platform == "cpu"
+    m_pad = _lane_pad(m)
+
+    fr = xq[..., : n_frames * m].reshape(n_frames, m)
+    n_pad = (-n_frames) % block_frames
+    tail = n_pad + (_win_rows(block_frames + 8, p) - (block_frames + p - 1))
+    fr = jnp.pad(fr, ((p - 1, tail), (0, m_pad - m)))
+
+    from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
+
+    w = dft_matrix(m, shifted=shift)
+    taps_p, wr_p, wi_p = _pad_weights(taps_rev, w, m_pad)
+    return _pallas_fir_dft_streams_cm2(
+        fr, fr, taps_p, wr_p, wi_p,
+        block_frames=block_frames, scale=scale, sat_level=float(sat_level),
+        t_len=n_frames, interpret=interpret, packed=True,
+    )
+
+
+def pallas_channelize_streams_cm2(
+    xr: jax.Array,
+    xi: jax.Array,
+    taps_rev: np.ndarray,
+    bit_width: int = 0,
+    sat_level: float = 0.9999,
+    shift: bool = True,
+    block_frames: int = 1024,
+    interpret: bool = False,
+):
+    """Planes-ingest variant of
+    :func:`pallas_channelize_streams_packed_cm2`."""
+    p, m = taps_rev.shape
+    n_frames = xr.shape[-1] // m
+    scale = float(2.0 ** -(bit_width - 1)) if bit_width else 1.0
+    interpret = interpret or jax.devices()[0].platform == "cpu"
+    m_pad = _lane_pad(m)
+
+    def prep(v):
+        fr = v[..., : n_frames * m].reshape(n_frames, m)
+        n_pad = (-n_frames) % block_frames
+        tail = n_pad + (_win_rows(block_frames + 8, p) - (block_frames + p - 1))
+        return jnp.pad(fr, ((p - 1, tail), (0, m_pad - m)))
+
+    from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
+
+    w = dft_matrix(m, shifted=shift)
+    taps_p, wr_p, wi_p = _pad_weights(taps_rev, w, m_pad)
+    return _pallas_fir_dft_streams_cm2(
+        prep(xr), prep(xi), taps_p, wr_p, wi_p,
+        block_frames=block_frames, scale=scale, sat_level=float(sat_level),
+        t_len=n_frames, interpret=interpret,
+    )
 
 
 def pallas_channelize_streams_cm(

@@ -83,12 +83,9 @@ def _f32_from_keys(u):
     return pltpu.bitcast(raw, jnp.float32)
 
 
-def _stats_kernel(live_sm,
-                  mag_hbm, dph_hbm, sat_hbm, toa_any, chan_any,
-                  toa_vm, te_vm, expand_vm, head_vm,
-                  mag_out, dph_out, sat_out,
-                  mag_buf, dph_buf, sat_buf, toa_sm, chan_sm, sems,
-                  *, n_tiles: int, rows: int, window: int, t_len: int):
+def _stats_kernel(live_sm, *refs,
+                  n_tiles: int, rows: int, window: int, t_len: int,
+                  with_sat: bool = True):
     """One invocation, ``fori_loop`` over the 128-pulse tiles.
 
     A tile with no valid slots costs one scalar load + branch — NOT a grid
@@ -104,17 +101,32 @@ def _stats_kernel(live_sm,
     kernel whenever the lists were computed in-graph (profiler-traced;
     parameters hid the same cost by overlapping with earlier stages).
 
-    The three streams stay separate 128-lane arrays: Mosaic gives
+    The streams stay separate 128-lane arrays: Mosaic gives
     exactly-128-lane HBM memrefs a flat layout where arbitrary-row DMA
     slices are legal; wider (e.g. lane-fused 384) arrays get a tiled
-    layout that rejects non-8-aligned row counts."""
+    layout that rejects non-8-aligned row counts.
+
+    ``with_sat=False`` (the v2 cm route) drops the saturation stream
+    entirely — one third fewer window DMAs per slot; the caller flags
+    saturated pulses from the channelizer kernel's saturation cumsum with
+    two gathers instead."""
+    if with_sat:
+        (mag_hbm, dph_hbm, sat_hbm, toa_any, chan_any, toa_vm, te_vm,
+         expand_vm, head_vm, mag_out, dph_out, sat_out,
+         mag_buf, dph_buf, sat_buf, toa_sm, chan_sm, sems) = refs
+    else:
+        (mag_hbm, dph_hbm, toa_any, chan_any, toa_vm, te_vm,
+         expand_vm, head_vm, mag_out, dph_out,
+         mag_buf, dph_buf, toa_sm, chan_sm, sems) = refs
+        sat_hbm = sat_out = sat_buf = None
     n_rows_total = mag_hbm.shape[1]
     g = TILE * rows  # stacked scratch rows
 
     # Dead tiles leave zeros (downstream masks by slot validity either way).
     mag_out[...] = jnp.zeros_like(mag_out)
     dph_out[...] = jnp.zeros_like(dph_out)
-    sat_out[...] = jnp.zeros_like(sat_out)
+    if with_sat:
+        sat_out[...] = jnp.zeros_like(sat_out)
 
     def _tile_body(j):
         # Stage this tile's slot scalars into SMEM (lane slice is
@@ -133,6 +145,10 @@ def _stats_kernel(live_sm,
         # masks below are all-false, so the stale data never matters), and
         # dropping the 2*TILE scalar branches per tile beats skipping the
         # odd dead slot in a live tile.
+        streams = [(mag_hbm, mag_buf, 0), (dph_hbm, dph_buf, 1)]
+        if with_sat:
+            streams.append((sat_hbm, sat_buf, 2))
+
         def slot_copies(s):
             c = chan_sm[0, s]
             toa = toa_sm[0, s]
@@ -143,8 +159,7 @@ def _stats_kernel(live_sm,
                     buf.at[pl.ds(s * rows, rows), :],
                     sems.at[k],
                 )
-                for hbm, buf, k in ((mag_hbm, mag_buf, 0), (dph_hbm, dph_buf, 1),
-                                    (sat_hbm, sat_buf, 2))
+                for hbm, buf, k in streams
             ]
 
         for s in range(TILE):
@@ -331,10 +346,11 @@ def _stats_kernel(live_sm,
         eight = jnp.ones((8, 1), jnp.float32)
         mag_out[pl.ds(0, 8), pl.ds(off, TILE)] = eight * med_row(mag_mn)
         dph_out[pl.ds(0, 8), pl.ds(off, TILE)] = eight * med_row(dph_mn)
-        sat_col = gsum(jnp.where(s_mask, sat_buf[...], 0.0))
-        sat_out[pl.ds(0, 8), pl.ds(off, TILE)] = eight * to_row(
-            jnp.where(sat_col > 0.5, 1.0, 0.0)
-        )
+        if with_sat:
+            sat_col = gsum(jnp.where(s_mask, sat_buf[...], 0.0))
+            sat_out[pl.ds(0, 8), pl.ds(off, TILE)] = eight * to_row(
+                jnp.where(sat_col > 0.5, 1.0, 0.0)
+            )
 
     def _loop(j, carry):
         @pl.when(live_sm[j] > 0)
@@ -386,6 +402,7 @@ def _pulse_stats_flat(
     ``t_len`` is the true capture length; the stream arrays may carry
     extra zero-padded columns beyond it (e.g. from the channel-major
     transpose kernel's block grid) — masks and sentinels use ``t_len``."""
+    with_sat = sat_cm is not None
     m, t_arr = mag_cm.shape
     p_orig = toa.shape[0]
     p_flat = ((p_orig + TILE - 1) // TILE) * TILE
@@ -401,7 +418,8 @@ def _pulse_stats_flat(
         pad = ((0, 0), (0, t_pad))
         mag_cm = jnp.pad(mag_cm, pad)
         dph_cm = jnp.pad(dph_cm, pad)
-        sat_cm = jnp.pad(sat_cm, pad)
+        if with_sat:
+            sat_cm = jnp.pad(sat_cm, pad)
     t_stored = t_arr + t_pad
     rows = (window + LANES - 1) // LANES + 1
     view = (m, t_stored // LANES, LANES)
@@ -425,53 +443,46 @@ def _pulse_stats_flat(
 
     kernel = functools.partial(
         _stats_kernel, n_tiles=n_tiles, rows=rows, window=window, t_len=t_len,
+        with_sat=with_sat,
     )
+    n_out = 3 if with_sat else 2
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # live flags only (~1 KB; SMEM ingress is slow)
         grid=(1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # mag stream
-            pl.BlockSpec(memory_space=pl.ANY),      # dph stream
-            pl.BlockSpec(memory_space=pl.ANY),      # sat stream
-            pl.BlockSpec(memory_space=pl.ANY),      # toa (8, P) i32
-            pl.BlockSpec(memory_space=pl.ANY),      # chan (8, P) i32
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # toa (8, P) f32
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # te (8, P) f32
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # expand
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # head
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((g, LANES), jnp.float32),
-            pltpu.VMEM((g, LANES), jnp.float32),
-            pltpu.VMEM((g, LANES), jnp.float32),
-            pltpu.SMEM((8, TILE), jnp.int32),
-            pltpu.SMEM((8, TILE), jnp.int32),
-            pltpu.SemaphoreType.DMA((5,)),
-        ],
+        in_specs=(
+            [any_spec] * (n_out + 2)      # streams + toa/chan (8, P) i32
+            + [vmem_spec] * 4             # toa/te f32, expand, head
+        ),
+        out_specs=[vmem_spec] * n_out,
+        scratch_shapes=(
+            [pltpu.VMEM((g, LANES), jnp.float32)] * n_out
+            + [pltpu.SMEM((8, TILE), jnp.int32),
+               pltpu.SMEM((8, TILE), jnp.int32),
+               pltpu.SemaphoreType.DMA((5,))]
+        ),
     )
-    mag_med, dph_med, sat_any = pl.pallas_call(
+    stream_args = [mag_cm.reshape(view), dph_cm.reshape(view)]
+    if with_sat:
+        stream_args.append(sat_cm.reshape(view))
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((8, p_flat), jnp.float32),
-            jax.ShapeDtypeStruct((8, p_flat), jnp.float32),
-            jax.ShapeDtypeStruct((8, p_flat), jnp.float32),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((8, p_flat), jnp.float32)] * n_out,
         # The merged dual-median descent carries two (g, LANES) live masks
         # plus both key sets; at window=1024 (rows=9, g=1152) that tops the
         # default 16 MB scoped-VMEM budget.  v5e has 128 MB VMEM — give the
         # kernel real headroom.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(live,
-      mag_cm.reshape(view), dph_cm.reshape(view), sat_cm.reshape(view),
+    )(live, *stream_args,
       toa_8, chan_8, toa_v, te_v, jnp.asarray(expand), jnp.asarray(head))
-    return mag_med[0, :p_orig], dph_med[0, :p_orig], sat_any[0, :p_orig]
+    if with_sat:
+        mag_med, dph_med, sat_any = outs
+        return mag_med[0, :p_orig], dph_med[0, :p_orig], sat_any[0, :p_orig]
+    mag_med, dph_med = outs
+    return mag_med[0, :p_orig], dph_med[0, :p_orig], None
 
 
 @functools.partial(
@@ -481,7 +492,7 @@ def _pulse_stats_flat(
 def pulse_stats(
     mag_cm: jax.Array,   # (M, T) f32 channel-major magnitude
     dph_cm: jax.Array,   # (M, T) f32 channel-major wrapped phase diff
-    sat_cm: jax.Array,   # (M, T) f32 channel-major saturation mask (0/1)
+    sat_cm,              # (M, T) f32 cm saturation mask, or None (no sat)
     toa: jax.Array,      # (M, P_slots) i32 leading-edge indices (t_len = invalid)
     te: jax.Array,       # (M, P_slots) i32 trailing-edge indices
     *,
@@ -513,7 +524,7 @@ def pulse_stats(
         window=window, interpret=interpret, t_len=t_len,
     )
     return (mm.reshape(m, p_slots), dd.reshape(m, p_slots),
-            ss.reshape(m, p_slots))
+            ss.reshape(m, p_slots) if ss is not None else None)
 
 
 @functools.partial(
@@ -523,7 +534,7 @@ def pulse_stats(
 def pulse_stats_dense(
     mag_cm: jax.Array,   # (M, T) f32 channel-major magnitude
     dph_cm: jax.Array,   # (M, T) f32 channel-major wrapped phase diff
-    sat_cm: jax.Array,   # (M, T) f32 channel-major saturation mask (0/1)
+    sat_cm,              # (M, T) f32 cm saturation mask, or None (no sat)
     toa: jax.Array,      # (P,) i32 flat leading edges (t_len = invalid)
     te: jax.Array,       # (P,) i32 flat trailing edges
     chan: jax.Array,     # (P,) i32 channel id per slot (0 for invalid)

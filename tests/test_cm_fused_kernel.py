@@ -116,7 +116,7 @@ def test_forward_packed_routes_cm(monkeypatch):
 
     monkeypatch.setattr(medians, "use_sort_free", lambda: True)
     assert pdwmod._pallas_stats_ok(samples.shape[0] // M, CFG)
-    nf, mag, batch = pipe.forward_packed(xq, bit_width=12)
+    nf, mag, batch = pipe.forward_packed(xq, bit_width=12, route="cm")
 
     mag_r, ph_r, sat_r = pallas_channelize_streams_packed(
         xq, pipe.channelizer.taps_rev, bit_width=12,
@@ -127,4 +127,111 @@ def test_forward_packed_routes_cm(monkeypatch):
     for name in ("toa_idx", "te_idx", "mag", "snr_db", "valid", "count"):
         np.testing.assert_array_equal(
             np.asarray(getattr(batch, name)), np.asarray(getattr(ref, name)),
+            err_msg=name)
+
+
+def test_cm2_kernel_streams_match_cm():
+    """v2 kernel: same mag/dph cm streams as the v1 cm kernel; saturation
+    emitted as the inclusive per-channel cumsum of v1's sat stream."""
+    from sdr_channelizer_tpu.ops.pallas.channelizer_kernel import (
+        pallas_channelize_streams_cm2,
+        pallas_channelize_streams_packed_cm2,
+    )
+
+    samples = _capture(12)
+    chan = Channelizer.create(M)
+    xr = jnp.asarray(np.ascontiguousarray(samples[:, 0]))
+    xi = jnp.asarray(np.ascontiguousarray(samples[:, 1]))
+    kw = dict(bit_width=12, block_frames=256, interpret=True)
+    _, mag_cm, dph_cm, sat_cm = pallas_channelize_streams_cm(
+        xr, xi, chan.taps_rev, **kw)
+    got = pallas_channelize_streams_cm2(xr, xi, chan.taps_rev, **kw)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(mag_cm))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(dph_cm))
+    want_cs = np.cumsum(np.asarray(sat_cm), axis=1, dtype=np.float32)
+    np.testing.assert_array_equal(np.asarray(got[2]), want_cs)
+
+    xq = jnp.asarray(samples.view(np.int32).ravel())
+    gp = pallas_channelize_streams_packed_cm2(xq, chan.taps_rev, **kw)
+    for a, b in zip(gp, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_forward_packed_cm2_matches_cm(monkeypatch):
+    """The v2 route (cm latch + no-compaction tiers + cumsum saturation)
+    emits a bit-identical PdwBatch to the round-3 cm route."""
+    from sdr_channelizer_tpu.models.pipeline import ChannelizerPipeline
+
+    # Saturating segment so the sat-from-cumsum path is exercised.
+    samples = _capture(12)
+    samples[3000:3040] = 2047
+    pipe = ChannelizerPipeline.create(M, pdw_cfg=CFG)
+    xq = jnp.asarray(np.ascontiguousarray(samples).view(np.int32).ravel())
+
+    monkeypatch.setattr(medians, "use_sort_free", lambda: True)
+    nf1, _, b1 = pipe.forward_packed(xq, bit_width=12, route="cm")
+    nf2, _, b2 = pipe.forward_packed(xq, bit_width=12, route="cm2")
+    np.testing.assert_array_equal(np.asarray(nf1), np.asarray(nf2))
+    assert int(np.asarray(b1.count).sum()) > 0
+    assert bool(np.asarray(b1.saturated).any())
+    for name in ("toa_idx", "te_idx", "pw_sec", "mag", "snr_db",
+                 "freq_offset_hz", "saturated", "valid", "count"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(b1, name)), np.asarray(getattr(b2, name)),
+            err_msg=name)
+
+
+def test_forward_packed_cm2_long_pulses(monkeypatch):
+    """cm2 with pulses spanning the short/long tier boundary and an open
+    pulse at capture end — tier masks + sentinel routing."""
+    from sdr_channelizer_tpu.models.pipeline import ChannelizerPipeline
+
+    cfg = PdwConfig.channelized(max_pulses=64, max_pulse_samples=1024)
+    spec = PulseTrainSpec(sample_rate_sps=8e6, duration_sec=4e-3,
+                          frequency_hz=1.7e6, pulse_width_sec=400e-6,
+                          pri_sec=1500e-6, start_index=101, noise_std=5e-3)
+    iq = pulse_train(spec, seed=9)
+    iq[-500:] = iq[200:700]  # re-open a pulse at capture end
+    samples = iqpacket.from_complex(iq, 12)
+    n = len(iq) // M * M
+    samples = np.ascontiguousarray(samples[:n])
+    pipe = ChannelizerPipeline.create(M, pdw_cfg=cfg)
+    xq = jnp.asarray(samples.view(np.int32).ravel())
+
+    monkeypatch.setattr(medians, "use_sort_free", lambda: True)
+    nf1, _, b1 = pipe.forward_packed(xq, bit_width=12, route="cm")
+    nf2, _, b2 = pipe.forward_packed(xq, bit_width=12, route="cm2")
+    assert int(np.asarray(b1.count).sum()) > 0
+    for name in ("toa_idx", "te_idx", "pw_sec", "mag", "snr_db",
+                 "freq_offset_hz", "saturated", "valid", "count"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(b1, name)), np.asarray(getattr(b2, name)),
+            err_msg=name)
+
+
+def test_forward_packed_cm2_nonpair_bands(monkeypatch):
+    """M > 64 (2M > 128 latch rows): the cm2 route takes the non-pair
+    two-output latch — the code path the fine-grained M=560 config uses."""
+    from sdr_channelizer_tpu.models.pipeline import ChannelizerPipeline
+
+    m = 96
+    cfg = PdwConfig.channelized(max_pulses=32, max_pulse_samples=256)
+    spec = PulseTrainSpec(sample_rate_sps=96e6, duration_sec=2e-4,
+                          frequency_hz=11.3e6, pulse_width_sec=20e-6,
+                          pri_sec=60e-6, start_index=57, noise_std=5e-3)
+    iq = pulse_train(spec, seed=11)
+    samples = iqpacket.from_complex(iq, 12)
+    n = len(iq) // m * m
+    samples = np.ascontiguousarray(samples[:n])
+    pipe = ChannelizerPipeline.create(m, pdw_cfg=cfg)
+    xq = jnp.asarray(samples.view(np.int32).ravel())
+
+    monkeypatch.setattr(medians, "use_sort_free", lambda: True)
+    _, _, b1 = pipe.forward_packed(xq, bit_width=12, route="cm")
+    _, _, b2 = pipe.forward_packed(xq, bit_width=12, route="cm2")
+    assert int(np.asarray(b1.count).sum()) > 0
+    for name in ("toa_idx", "te_idx", "mag", "snr_db", "freq_offset_hz",
+                 "saturated", "valid", "count"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(b1, name)), np.asarray(getattr(b2, name)),
             err_msg=name)

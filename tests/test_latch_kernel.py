@@ -125,3 +125,102 @@ def test_sort_free_extraction_parity(monkeypatch):
                                np.asarray(ref.freq_offset_hz), rtol=3e-7)
     np.testing.assert_allclose(np.asarray(got.snr_db),
                                np.asarray(ref.snr_db), rtol=0, atol=2e-5)
+
+
+class TestLatchCm:
+    """Channel-major latch kernel (pallas_latch_cumsums_cm): same cumsums
+    as the XLA associative-scan oracle, zero MXU flips."""
+
+    def _oracle(self, mag_tm, lead, trail):
+        import jax.numpy as jnp
+        from sdr_channelizer_tpu.dsp.pdw import hysteresis_fns
+
+        ge = mag_tm >= lead[None, :]
+        le = mag_tm <= trail[None, :]
+        a, _ = hysteresis_fns(ge, le, axis=0)
+        state = a
+        prev = jnp.concatenate([jnp.zeros_like(state[:1]), state[:-1]])
+        lead_e = state & ~prev
+        trail_e = ~state & prev
+        return (jnp.cumsum(lead_e, axis=0).T.astype(np.float32),
+                jnp.cumsum(trail_e, axis=0).T.astype(np.float32))
+
+    def _make(self, t_len, m, seed=0, open_at_end=False):
+        rng = np.random.default_rng(seed)
+        mag = np.abs(rng.standard_normal((t_len, m))).astype(np.float32) * 0.01
+        for c in range(m):
+            for s in range(5 + c, t_len - 30, 97 + 13 * c):
+                mag[s : s + 7 + c % 5, c] = 1.0
+        if open_at_end:
+            mag[-3:, 0] = 1.0
+        nf = np.median(mag, axis=0).astype(np.float32)
+        return mag, nf * 10.0, nf * 3.0
+
+    @pytest.mark.parametrize("m,t_len", [(8, 1024), (64, 2048), (3, 512)])
+    def test_pair_matches_oracle(self, m, t_len):
+        import jax.numpy as jnp
+        from sdr_channelizer_tpu.ops.pallas.latch_kernel import (
+            pallas_latch_cumsums_cm,
+        )
+
+        mag, lead, trail = self._make(t_len, m, open_at_end=True)
+        r = 128
+        mag_cm = np.zeros((r, t_len), np.float32)
+        mag_cm[:m] = mag.T
+        packed = pallas_latch_cumsums_cm(
+            jnp.asarray(mag_cm), jnp.asarray(lead), jnp.asarray(trail),
+            m_real=m, t_blk=256)
+        assert not isinstance(packed, tuple)
+        cl_want, ct_want = self._oracle(jnp.asarray(mag), jnp.asarray(lead),
+                                        jnp.asarray(trail))
+        np.testing.assert_array_equal(np.asarray(packed)[:m], cl_want)
+        np.testing.assert_array_equal(np.asarray(packed)[64:64 + m], ct_want)
+        # pad rows count nothing
+        np.testing.assert_array_equal(np.asarray(packed)[m:64], 0.0)
+
+    def test_zero_pad_columns_close_open_pulse(self):
+        """Zero pad columns (the channelizer kernel's t_len..T_pad range)
+        produce exactly one trailing edge for a pulse open at t_len."""
+        import jax.numpy as jnp
+        from sdr_channelizer_tpu.ops.pallas.latch_kernel import (
+            pallas_latch_cumsums_cm,
+        )
+
+        t_len, t_pad, m = 200, 256, 2
+        mag, lead, trail = self._make(t_len, m, open_at_end=True)
+        mag_cm = np.zeros((128, t_pad), np.float32)
+        mag_cm[:m, :t_len] = mag.T
+        packed = np.asarray(pallas_latch_cumsums_cm(
+            jnp.asarray(mag_cm), jnp.asarray(lead), jnp.asarray(trail),
+            m_real=m, t_blk=256))
+        cl_want, ct_want = self._oracle(jnp.asarray(mag), jnp.asarray(lead),
+                                        jnp.asarray(trail))
+        cl_want, ct_want = np.asarray(cl_want), np.asarray(ct_want)
+        np.testing.assert_array_equal(packed[:m, :t_len], cl_want)
+        np.testing.assert_array_equal(packed[64:64 + m, :t_len], ct_want)
+        # channel 0's open pulse closes at column t_len, then stays flat
+        assert packed[64, t_len] == ct_want[0, -1] + 1
+        np.testing.assert_array_equal(packed[64, t_len:],
+                                      packed[64, t_len])
+        # no lead edges fire in the pad
+        np.testing.assert_array_equal(packed[:m, t_len:],
+                                      np.broadcast_to(cl_want[:, -1:],
+                                                      (m, t_pad - t_len)))
+
+    def test_nonpair_many_channels(self):
+        import jax.numpy as jnp
+        from sdr_channelizer_tpu.ops.pallas.latch_kernel import (
+            pallas_latch_cumsums_cm,
+        )
+
+        m, t_len = 100, 512  # 2m > 128 -> two outputs
+        mag, lead, trail = self._make(t_len, m, seed=3)
+        mag_cm = np.zeros((128, t_len), np.float32)
+        mag_cm[:m] = mag.T
+        cl, ct = pallas_latch_cumsums_cm(
+            jnp.asarray(mag_cm), jnp.asarray(lead), jnp.asarray(trail),
+            m_real=m, t_blk=256)
+        cl_want, ct_want = self._oracle(jnp.asarray(mag), jnp.asarray(lead),
+                                        jnp.asarray(trail))
+        np.testing.assert_array_equal(np.asarray(cl)[:m], cl_want)
+        np.testing.assert_array_equal(np.asarray(ct)[:m], ct_want)

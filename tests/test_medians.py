@@ -50,3 +50,29 @@ def test_median_flat():
     a = np.asarray(median(x, method="sort"))
     b = np.asarray(median(x, method="select"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_multibit_select_matches_sort_and_1bit():
+    """bits=2/4/8 value-space descent picks identical order statistics."""
+    from sdr_channelizer_tpu.ops import medians
+    rng = np.random.default_rng(7)
+    for shape, axis in (((1000,), 0), ((257, 6), 0), ((6, 257), 1)):
+        x = rng.standard_normal(shape).astype(np.float32)
+        x.ravel()[:: 7] *= -1.0  # negatives exercise the key mapping
+        x.ravel()[3] = 0.0
+        mask = rng.random(shape) > 0.2
+        want = medians.masked_median(jnp.asarray(x), jnp.asarray(mask),
+                                     axis=axis, method="sort")
+        for bits in (1, 2, 4, 8):
+            got = medians.masked_median(jnp.asarray(x), jnp.asarray(mask),
+                                        axis=axis, method="select", bits=bits)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_multibit_median_unmasked():
+    from sdr_channelizer_tpu.ops import medians
+    rng = np.random.default_rng(8)
+    x = np.abs(rng.standard_normal((500, 4))).astype(np.float32)
+    want = np.median(x, axis=0)
+    got = medians.median(jnp.asarray(x), axis=0, method="select", bits=4)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-7)

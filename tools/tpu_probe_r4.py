@@ -1,0 +1,283 @@
+"""Round-4 perf probe: v1 (cm) vs v2 (cm2) headline routes, in-graph timing.
+
+Protocol = tools/tpu_probe_r3.py's in-graph ``lax.fori_loop`` repetition
+(the only trustworthy one on this tunnel): per-step =
+``(t(K2) - t(K1)) / (K2 - K1)`` with the loop body salted by a
+runtime-zero so XLA cannot hoist or CSE it.
+
+Payloads are EXACTLY bench.py's dense and sparse captures (round-3's
+PROBE/BENCH "spread" was partly signal difference: the r3 probe used a
+one-train signal; bench's dense point has two trains and ~32k tiny
+transients).  Parts (env PROBE_PARTS, default "AB"):
+
+A. Full-graph A/B: ``forward_packed`` route cm (r3 ship) vs cm2 (r4),
+   dense + sparse.
+B. Prefix bisect of the cm2 graph (streams -> nf -> latch -> edges ->
+   tiny/sat/tiers -> short kernel -> long kernel -> full).
+C. Noise-floor radix-bits sweep (1/2/4/8) on the cm2 streams, and the
+   latch t_blk sweep (1024/2048/4096), both as graph prefixes.
+
+Writes PROBE_r04.json at the repo root.  Single TPU process only.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(1, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def fetch_scalar(x):
+    leaf = [v for v in jax.tree.leaves(x) if hasattr(v, "dtype")][0]
+    return float(np.asarray(jax.jit(
+        lambda v: jnp.ravel(v)[:1].astype(jnp.float32))(leaf))[0])
+
+
+K1 = int(os.environ.get("PROBE_K1", 5))
+K2 = int(os.environ.get("PROBE_K2", 45))
+REPS = int(os.environ.get("PROBE_REPS", 3))
+
+
+def _salted(a, salt):
+    idx = (0,) * a.ndim
+    if a.dtype == jnp.bool_ or jnp.issubdtype(a.dtype, jnp.integer):
+        return a.at[idx].set(a[idx] ^ salt.astype(a.dtype))
+    return a.at[idx].add(salt.astype(a.dtype))
+
+
+def make_looped(fn, n_salt=1):
+    @jax.jit
+    def run(K, *args):
+        def body(i, acc):
+            salt = jnp.isnan(acc).astype(jnp.int32) + i * 0
+            sargs = tuple(
+                _salted(a, salt) if j < n_salt else a
+                for j, a in enumerate(args)
+            )
+            return acc * 0.5 + fn(*sargs)
+
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+    return run
+
+
+def graph_time(name, fn, *args, n_salt=1, k1=None, k2=None, reps=None):
+    k1 = K1 if k1 is None else k1
+    k2 = K2 if k2 is None else k2
+    reps = REPS if reps is None else reps
+    run = make_looped(fn, n_salt=n_salt)
+    t0 = time.perf_counter()
+    fetch_scalar(run(k1, *args))
+    compile_s = time.perf_counter() - t0
+    t1s, t2s = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fetch_scalar(run(k1, *args))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        fetch_scalar(run(k2, *args))
+        t2s.append(time.perf_counter() - t0)
+    dt = max((min(t2s) - min(t1s)) / (k2 - k1), 0.0)
+    spread = (max(t2s) - min(t2s)) / max(min(t2s) - min(t1s), 1e-9)
+    log(f"{name:<30s} {dt*1e3:9.3f} ms/iter   (compile {compile_s:.0f}s, "
+        f"rep spread {spread*100:.0f}%)")
+    return dt
+
+
+from bench import _make_capture, _quantize  # noqa: E402
+from sdr_channelizer_tpu.config import PdwConfig
+from sdr_channelizer_tpu.dsp import pdw as pdwmod
+from sdr_channelizer_tpu.models.pipeline import ChannelizerPipeline
+from sdr_channelizer_tpu.ops.pallas.channelizer_kernel import (
+    pallas_channelize_streams_packed_cm2,
+)
+from sdr_channelizer_tpu.ops.pallas.latch_kernel import pallas_latch_cumsums_cm
+from sdr_channelizer_tpu.ops.pallas.pulse_stats_kernel import (
+    TILE, pulse_stats,
+)
+from sdr_channelizer_tpu.ops.rank_find import find_ranks_cm
+
+log("devices:", jax.devices())
+BANDS = 64
+FRAMES = int(os.environ.get("PROBE_FRAMES", 262144))
+N = BANDS * FRAMES
+cfg = PdwConfig.channelized(max_pulses=512, max_pulse_samples=1024)
+pipe = ChannelizerPipeline.create(BANDS, pdw_cfg=cfg)
+taps = pipe.channelizer.taps_rev
+THR = 10.0 ** (cfg.snr_threshold_db / 10.0)
+SW = pdwmod._SHORT_WINDOW
+P_SLOTS = ((cfg.max_pulses + TILE - 1) // TILE) * TILE
+
+dev = jax.devices()[0]
+xq_dense = jax.device_put(np.ascontiguousarray(
+    _quantize(_make_capture(N, BANDS))).view(np.int32).ravel(), dev)
+xq_sparse = jax.device_put(np.ascontiguousarray(
+    _quantize(_make_capture(N, BANDS, sparse=True))).view(np.int32).ravel(),
+    dev)
+
+results = {}
+
+
+def touch(*xs):
+    tot = jnp.zeros((), jnp.float32)
+    for x in xs:
+        tot = tot + jnp.sum(x.astype(jnp.float32))
+    return tot
+
+
+def full_route(route):
+    def fn(q):
+        nf, _, batch = pipe.forward_packed(q, bit_width=12, route=route)
+        return touch(nf, batch.mag, batch.snr_db, batch.freq_offset_hz,
+                     batch.toa_idx.astype(jnp.float32))
+    return fn
+
+
+def run_part_a():
+    for route in ("cm2", "cm"):
+        for label, q in (("dense", xq_dense), ("sparse", xq_sparse)):
+            dt = graph_time(f"A.{route}_{label}", full_route(route), q)
+            results[f"A_{route}_{label}_ms"] = round(dt * 1e3, 3)
+
+
+# ---- cm2 graph stages (hand mirror of dsp/pdw.py:_extract_channelized_cm2)
+
+def stage_streams(q):
+    return pallas_channelize_streams_packed_cm2(
+        q, taps, bit_width=12, sat_level=cfg.saturation_level)
+
+
+def stage_nf(mag_cm, bits=4):
+    return pdwmod.noise_floor_cm(mag_cm, BANDS, FRAMES, bits=bits)
+
+
+def stage_latch(mag_cm, nf, t_blk=2048):
+    return pallas_latch_cumsums_cm(mag_cm, nf * THR, nf * THR, BANDS,
+                                   t_blk=t_blk)
+
+
+def stage_edges(packed, t_len):
+    r = packed.shape[0]
+    ranks = jnp.broadcast_to(
+        jnp.arange(1, P_SLOTS + 1, dtype=jnp.float32)[None, :], (r, P_SLOTS))
+    idx = find_ranks_cm(packed, ranks, t_len)
+    return idx[:BANDS], idx[r // 2:r // 2 + BANDS]
+
+
+def build_prefixes(nf_bits=4, t_blk=2048):
+    m, t_len = BANDS, FRAMES
+
+    def b0(q):
+        return touch(*stage_streams(q))
+
+    def b1(q):
+        mag_cm, dph_cm, satcs = stage_streams(q)
+        return touch(mag_cm, dph_cm, satcs, stage_nf(mag_cm, nf_bits))
+
+    def b2(q):
+        mag_cm, dph_cm, satcs = stage_streams(q)
+        nf = stage_nf(mag_cm, nf_bits)
+        return touch(mag_cm, dph_cm, satcs, nf,
+                     stage_latch(mag_cm, nf, t_blk))
+
+    def b3(q):
+        mag_cm, dph_cm, satcs = stage_streams(q)
+        nf = stage_nf(mag_cm, nf_bits)
+        packed = stage_latch(mag_cm, nf, t_blk)
+        toa, te = stage_edges(packed, t_len)
+        return touch(mag_cm, dph_cm, satcs, nf, packed, toa, te)
+
+    def tail(q, tiers=()):
+        mag_cm, dph_cm, satcs = stage_streams(q)
+        nf = stage_nf(mag_cm, nf_bits)
+        packed = stage_latch(mag_cm, nf, t_blk)
+        toa, te = stage_edges(packed, t_len)
+        toa, te = jax.lax.optimization_barrier((toa, te))
+        plen = te - toa + 1
+        valid_slot = toa < t_len
+        closed = valid_slot & (te < t_len)
+        safe_toa = jnp.minimum(toa, t_len - 1)
+        safe_te = jnp.minimum(te, t_len - 1)
+        mag_a = jnp.take_along_axis(mag_cm[:m], safe_toa, axis=1)
+        mag_b = jnp.take_along_axis(mag_cm[:m], safe_te, axis=1)
+        tiny_mag = jnp.where(plen >= 2, 0.5 * (mag_a + mag_b), mag_a)
+        tiny_dph = jnp.where(plen >= 2,
+                             jnp.take_along_axis(dph_cm[:m], safe_toa, axis=1),
+                             jnp.float32(np.nan))
+        s_hi = jnp.take_along_axis(satcs[:m], jnp.maximum(safe_te - 1, 0),
+                                   axis=1)
+        s_lo = jnp.take_along_axis(satcs[:m], safe_toa, axis=1)
+        sat_any = (s_hi - s_lo) > 0.5
+        is_tiny = closed & (plen <= 2)
+        is_short = closed & ~is_tiny & (plen <= SW)
+        is_long = valid_slot & ~is_tiny & ~is_short
+        acc = [mag_cm, dph_cm, nf, toa, te, tiny_mag, tiny_dph, sat_any,
+               is_tiny]
+        sentinel = jnp.int32(t_len)
+        for sel, window in tiers:
+            sel_m = {"short": is_short, "long": is_long}[sel]
+            t_sel = jnp.where(sel_m, toa, sentinel)
+            e_sel = jnp.where(sel_m, te, sentinel)
+            mm, dd, _ = pulse_stats(mag_cm, dph_cm, None, t_sel, e_sel,
+                                    window=window, t_len=t_len)
+            acc += [mm, dd]
+        return touch(*acc)
+
+    return [("b0_streams", b0), ("b1_nf", b1), ("b2_latch", b2),
+            ("b3_edges", b3),
+            ("b4_tiny_sat", lambda q: tail(q)),
+            ("b5_short", lambda q: tail(q, (("short", SW),))),
+            ("b6_long", lambda q: tail(
+                q, (("short", SW), ("long", cfg.max_pulse_samples)))),
+            ("b7_full", full_route("cm2"))]
+
+
+def run_part_b():
+    prev = 0.0
+    for name, fn in build_prefixes():
+        dt = graph_time("B." + name, fn, xq_dense)
+        results["B_" + name + "_ms"] = round(dt * 1e3, 3)
+        results["B_marg_" + name + "_ms"] = round((dt - prev) * 1e3, 3)
+        prev = dt
+
+
+def run_part_c():
+    for bits in (1, 2, 4, 8):
+        _, b1, *_ = build_prefixes(nf_bits=bits)
+        dt = graph_time(f"C.nf_bits{bits}", b1[1], xq_dense)
+        results[f"C_nf_bits{bits}_ms"] = round(dt * 1e3, 3)
+    for t_blk in (1024, 2048, 4096):
+        pre = build_prefixes(t_blk=t_blk)
+        dt = graph_time(f"C.latch_tblk{t_blk}", pre[2][1], xq_dense)
+        results[f"C_latch_tblk{t_blk}_ms"] = round(dt * 1e3, 3)
+
+
+def main():
+    parts = os.environ.get("PROBE_PARTS", "AB")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def flush():
+        with open(os.path.join(repo, "PROBE_r04.json"), "w") as f:
+            json.dump({"shape": {"bands": BANDS, "frames": FRAMES},
+                       "payload": "bench.py dense/sparse captures",
+                       "protocol": "in-graph fori_loop repetition, "
+                                   f"(t({K2})-t({K1}))/{K2 - K1}, "
+                                   f"min of {REPS} reps",
+                       "results": results}, f, indent=1, sort_keys=True)
+
+    for p in parts:
+        {"A": run_part_a, "B": run_part_b, "C": run_part_c}[p]()
+        flush()
+    log("wrote PROBE_r04.json")
+
+
+if __name__ == "__main__":
+    main()
