@@ -811,6 +811,8 @@ def _extract_channelized_cm2(
     noise_floor: jax.Array,
     t_len: int,
     m: int,
+    tier_mode: str = "grid",
+    gate_slots: bool = False,
 ) -> PdwBatch:
     """v2 channel-major extraction — the round-4 headline tail.
 
@@ -909,22 +911,66 @@ def _extract_channelized_cm2(
         is_short = closed & ~is_tiny & (plen <= sw)
         is_long = valid_slot & ~is_tiny & ~is_short
 
-        def tier(sel, window):
-            t_sel = jnp.where(sel, toa_idx, sentinel)
-            e_sel = jnp.where(sel, te_idx, sentinel)
-            mm, dd, _ = pulse_stats(mag_cm, dph_cm, None, t_sel, e_sel,
-                                    window=window, t_len=t_len)
-            return mm, dd
+        if tier_mode == "compact":
+            # v1-style flat cross-channel compaction (cumsum rank + drop
+            # scatters) — dense lists so the kernel visits
+            # ceil(pulses/TILE) tiles; the A/B alternative to the grid
+            # mode when non-tiny pulses are sparse but spread.
+            from sdr_channelizer_tpu.ops.pallas.pulse_stats_kernel import (
+                pulse_stats_dense,
+            )
 
-        s_mag, s_dph = tier(is_short, sw)
-        l_mag, l_dph = tier(is_long, w)
-        med_mag = jnp.where(is_tiny, tiny_mag,
-                            jnp.where(is_short, s_mag, l_mag))
-        med_dph = jnp.where(is_tiny, tiny_dph,
-                            jnp.where(is_short, s_dph, l_dph))
+            n_flat = m * p_slots
+            flat_toa = toa_idx.reshape(-1)
+            flat_te = te_idx.reshape(-1)
+            chan_f = jnp.broadcast_to(
+                jnp.arange(m, dtype=jnp.int32)[:, None], (m, p_slots)
+            ).reshape(-1)
+
+            def part(sel):
+                r_sc = jnp.cumsum(sel.reshape(-1).astype(jnp.int32)) - 1
+                r_sc = jnp.where(sel.reshape(-1), r_sc, n_flat)
+                base = jnp.full((n_flat,), t_len, jnp.int32)
+                return (base.at[r_sc].set(flat_toa, mode="drop"),
+                        base.at[r_sc].set(flat_te, mode="drop"),
+                        jnp.zeros((n_flat,), jnp.int32).at[r_sc].set(
+                            chan_f, mode="drop"),
+                        jnp.minimum(r_sc, n_flat - 1))
+
+            toa_s, te_s, ch_s, rank_s = part(is_short)
+            toa_l, te_l, ch_l, rank_l = part(is_long)
+            outs_s = pulse_stats_dense(mag_cm, dph_cm, None, toa_s, te_s,
+                                       ch_s, window=sw, t_len=t_len)
+            outs_l = pulse_stats_dense(mag_cm, dph_cm, None, toa_l, te_l,
+                                       ch_l, window=w, t_len=t_len)
+            rank_c = jnp.where(is_short.reshape(-1), rank_s,
+                               rank_l + n_flat).reshape(m, p_slots)
+
+            def mergev(vs, vl, tiny):
+                return jnp.where(is_tiny, tiny,
+                                 jnp.concatenate([vs, vl])[rank_c])
+
+            med_mag = mergev(outs_s[0], outs_l[0], tiny_mag)
+            med_dph = mergev(outs_s[1], outs_l[1], tiny_dph)
+        else:
+            def tier(sel, window):
+                t_sel = jnp.where(sel, toa_idx, sentinel)
+                e_sel = jnp.where(sel, te_idx, sentinel)
+                mm, dd, _ = pulse_stats(mag_cm, dph_cm, None, t_sel, e_sel,
+                                        window=window, t_len=t_len,
+                                        gate_slots=gate_slots)
+                return mm, dd
+
+            s_mag, s_dph = tier(is_short, sw)
+            l_mag, l_dph = tier(is_long, w)
+            med_mag = jnp.where(is_tiny, tiny_mag,
+                                jnp.where(is_short, s_mag, l_mag))
+            med_dph = jnp.where(is_tiny, tiny_dph,
+                                jnp.where(is_short, s_dph, l_dph))
     else:
         med_mag, med_dph, _ = pulse_stats(
-            mag_cm, dph_cm, None, toa_idx, te_idx, window=w, t_len=t_len)
+            mag_cm, dph_cm, None, toa_idx, te_idx, window=w, t_len=t_len,
+            gate_slots=(gate_slots and tier_mode != "compact"))
 
     snr = 10.0 * jnp.log10(med_mag / noise_floor[:, None])
     zero = jnp.zeros((), jnp.float32)

@@ -100,14 +100,16 @@ class ChannelizerPipeline:
         ok = pdwmod._pallas_stats_ok(t_len, self.pdw_cfg)
         if route == "auto":
             route = "cm2" if ok else "flat"
-        if route == "cm2" and ok:
+        if route.startswith("cm2") and ok:
             mag_cm, dph_cm, satcs_cm = pallas_channelize_streams_cm2(
                 xr, xi, self.channelizer.taps_rev, bit_width=bit_width,
                 sat_level=self.pdw_cfg.saturation_level,
             )
             nf = pdwmod.noise_floor_cm(mag_cm, m, t_len)
             batch = pdwmod._extract_channelized_cm2(
-                mag_cm, dph_cm, satcs_cm, self.pdw_cfg, nf, t_len, m)
+                mag_cm, dph_cm, satcs_cm, self.pdw_cfg, nf, t_len, m,
+                tier_mode="compact" if route == "cm2c" else "grid",
+                gate_slots=route == "cm2g")
             return nf, mag_cm, batch
         if route == "cm" and ok:
             mag, mag_cm, dph_cm, sat_cm = pallas_channelize_streams_cm(
@@ -150,14 +152,16 @@ class ChannelizerPipeline:
         ok = pdwmod._pallas_stats_ok(t_len, self.pdw_cfg)
         if route == "auto":
             route = "cm2" if ok else "flat"
-        if route == "cm2" and ok:
+        if route.startswith("cm2") and ok:
             mag_cm, dph_cm, satcs_cm = pallas_channelize_streams_packed_cm2(
                 xq, self.channelizer.taps_rev, bit_width=bit_width,
                 sat_level=self.pdw_cfg.saturation_level,
             )
             nf = pdwmod.noise_floor_cm(mag_cm, m, t_len)
             batch = pdwmod._extract_channelized_cm2(
-                mag_cm, dph_cm, satcs_cm, self.pdw_cfg, nf, t_len, m)
+                mag_cm, dph_cm, satcs_cm, self.pdw_cfg, nf, t_len, m,
+                tier_mode="compact" if route == "cm2c" else "grid",
+                gate_slots=route == "cm2g")
             return nf, mag_cm, batch
         if route == "cm" and ok:
             mag, mag_cm, dph_cm, sat_cm = pallas_channelize_streams_packed_cm(

@@ -85,7 +85,7 @@ def _f32_from_keys(u):
 
 def _stats_kernel(live_sm, *refs,
                   n_tiles: int, rows: int, window: int, t_len: int,
-                  with_sat: bool = True):
+                  with_sat: bool = True, gate_slots: bool = False):
     """One invocation, ``fori_loop`` over the 128-pulse tiles.
 
     A tile with no valid slots costs one scalar load + branch — NOT a grid
@@ -162,9 +162,24 @@ def _stats_kernel(live_sm, *refs,
                 for hbm, buf, k in streams
             ]
 
-        for s in range(TILE):
+        # ``gate_slots``: skip dead slots' DMAs behind a scalar branch.
+        # With compacted slot lists (valid slots packed to the front) the
+        # 2*TILE branches cost more than the odd wasted copy; with
+        # tier-masked per-channel slot GRIDS (the v2 no-compaction route) a
+        # live tile is mostly sentinels and gating skips ~90% of the DMAs.
+        def start_slot(s):
             for cp in slot_copies(s):
                 cp.start()
+
+        def wait_slot(s):
+            for cp in slot_copies(s):
+                cp.wait()
+
+        for s in range(TILE):
+            if gate_slots:
+                pl.when(toa_sm[0, s] < t_len)(lambda s=s: start_slot(s))
+            else:
+                start_slot(s)
 
         # Per-pulse toa/te as (TILE, 1) f32 columns from the (8, P) VMEM
         # arrays (row replicated 8x — TPU block sublane dims must be
@@ -204,8 +219,10 @@ def _stats_kernel(live_sm, *refs,
         s_mask = in_any & (pos >= 1.0) & (pos < plen - 1.0)
 
         for s in range(TILE):
-            for cp in slot_copies(s):
-                cp.wait()
+            if gate_slots:
+                pl.when(toa_sm[0, s] < t_len)(lambda s=s: wait_slot(s))
+            else:
+                wait_slot(s)
 
         # --- row-space group arithmetic (no MXU in the hot loop) ---
         # Every per-pulse scalar lives as a (g, 1) column with the value
@@ -396,6 +413,7 @@ def _pulse_stats_flat(
     window: int,
     interpret: bool,
     t_len: int,
+    gate_slots: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Dense-slot kernel driver shared by the 2-D and dense wrappers.
 
@@ -443,7 +461,7 @@ def _pulse_stats_flat(
 
     kernel = functools.partial(
         _stats_kernel, n_tiles=n_tiles, rows=rows, window=window, t_len=t_len,
-        with_sat=with_sat,
+        with_sat=with_sat, gate_slots=gate_slots,
     )
     n_out = 3 if with_sat else 2
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -487,7 +505,7 @@ def _pulse_stats_flat(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window", "interpret", "t_len"),
+    static_argnames=("window", "interpret", "t_len", "gate_slots"),
 )
 def pulse_stats(
     mag_cm: jax.Array,   # (M, T) f32 channel-major magnitude
@@ -499,6 +517,7 @@ def pulse_stats(
     window: int,
     interpret: bool = False,
     t_len: int | None = None,
+    gate_slots: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Per-pulse (median mag, median dph, saturated) of shape (M, P_slots).
 
@@ -522,6 +541,7 @@ def pulse_stats(
         mag_cm, dph_cm, sat_cm,
         toa.reshape(-1), te.reshape(-1), chan.reshape(-1),
         window=window, interpret=interpret, t_len=t_len,
+        gate_slots=gate_slots,
     )
     return (mm.reshape(m, p_slots), dd.reshape(m, p_slots),
             ss.reshape(m, p_slots) if ss is not None else None)
@@ -529,7 +549,7 @@ def pulse_stats(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window", "interpret", "t_len"),
+    static_argnames=("window", "interpret", "t_len", "gate_slots"),
 )
 def pulse_stats_dense(
     mag_cm: jax.Array,   # (M, T) f32 channel-major magnitude
@@ -542,6 +562,7 @@ def pulse_stats_dense(
     window: int,
     interpret: bool = False,
     t_len: int | None = None,
+    gate_slots: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Dense-list variant of :func:`pulse_stats`: one flat slot list
     mixing all channels, shape (P,) outputs.
@@ -557,4 +578,5 @@ def pulse_stats_dense(
     return _pulse_stats_flat(
         mag_cm, dph_cm, sat_cm, toa, te, chan,
         window=window, interpret=interpret, t_len=t_len,
+        gate_slots=gate_slots,
     )

@@ -260,9 +260,22 @@ def run_part_c():
         results[f"C_latch_tblk{t_blk}_ms"] = round(dt * 1e3, 3)
 
 
+def run_part_d():
+    """Stats-tier variants on the cm2 base, full graph: grid-ungated (the
+    part-A cm2), grid-gated (skip dead slots' DMAs behind scalar
+    branches), and v1-style flat compaction."""
+    for route in ("cm2g", "cm2c"):
+        for label, q in (("dense", xq_dense), ("sparse", xq_sparse)):
+            dt = graph_time(f"D.{route}_{label}", full_route(route), q)
+            results[f"D_{route}_{label}_ms"] = round(dt * 1e3, 3)
+
+
 def main():
     parts = os.environ.get("PROBE_PARTS", "AB")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prior = os.path.join(repo, "PROBE_r04.json")
+    if os.path.exists(prior):  # accumulate across invocations
+        results.update(json.load(open(prior)).get("results", {}))
 
     def flush():
         with open(os.path.join(repo, "PROBE_r04.json"), "w") as f:
@@ -274,7 +287,8 @@ def main():
                        "results": results}, f, indent=1, sort_keys=True)
 
     for p in parts:
-        {"A": run_part_a, "B": run_part_b, "C": run_part_c}[p]()
+        {"A": run_part_a, "B": run_part_b, "C": run_part_c,
+         "D": run_part_d}[p]()
         flush()
     log("wrote PROBE_r04.json")
 

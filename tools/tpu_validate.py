@@ -1,64 +1,201 @@
-"""Ground-truth validation + flagship timing of the fused pipeline on the real TPU.
+"""Ground-truth validation + timing of the fused pipeline on the real TPU.
 
-Run directly (no PYTHONPATH override - that disables the TPU platform);
-keep runs under ~9 minutes and never run two TPU processes at once (see
-CLAUDE.md).
+Round-4 contents (writes VALIDATE_r04.json):
+
+1. Small-scale ground truth through ``extract_fused`` (auto route = the v2
+   cm2 tail): recovered pulse count / PW / freq vs the synth spec.
+2. The **fine-grained M=560 operating point** (0.1 MHz bins at 56 Msps,
+   ``generate_channelized_training_iq.m:95-96``): ground truth + in-graph
+   Msps on the packed route.
+3. The **int8 packed ingest** (8-bit recorders are half the reference's
+   capture surface): ground truth at M=64 + in-graph Msps.
+4. Packed spectrogram timing (``stft_power_packed`` — device-side dequant).
+
+Timing protocol = in-graph ``lax.fori_loop`` repetition (host loops are
+untrustworthy over this tunnel; see bench.py docstring).
+
+Run directly (no PYTHONPATH override — that disables the TPU platform);
+never run two TPU processes at once (see CLAUDE.md).
 """
-import os, sys
+import json
+import os
+import sys
+import time
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import sys, time, numpy as np, jax, jax.numpy as jnp
-def log(*a): print(*a, file=sys.stderr, flush=True)
-def sync(tree):
-    leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "dtype")]
-    jax.block_until_ready(leaves)
-    return float(np.asarray(jax.jit(lambda v: jnp.ravel(v)[:1].real.astype(jnp.float32))(leaves[0]))[0])
-from sdr_channelizer_tpu.config import PdwConfig
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def fetch_scalar(x):
+    leaf = [v for v in jax.tree.leaves(x) if hasattr(v, "dtype")][0]
+    return float(np.asarray(jax.jit(
+        lambda v: jnp.ravel(v)[:1].astype(jnp.float32))(leaf))[0])
+
+
+def graph_time(name, fn, *args, k1=3, k2=23, reps=2):
+    """In-graph per-iteration seconds (bench.py protocol, trimmed)."""
+    @jax.jit
+    def run(K, *a):
+        def body(i, acc):
+            salt = jnp.isnan(acc).astype(jnp.int32) + i * 0
+            q = a[0].at[(0,) * a[0].ndim].set(
+                a[0][(0,) * a[0].ndim] ^ salt.astype(a[0].dtype))
+            return acc * 0.5 + fn(q, *a[1:])
+
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+    t0 = time.perf_counter()
+    fetch_scalar(run(k1, *args))
+    compile_s = time.perf_counter() - t0
+    t1s, t2s = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fetch_scalar(run(k1, *args))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        fetch_scalar(run(k2, *args))
+        t2s.append(time.perf_counter() - t0)
+    dt = max((min(t2s) - min(t1s)) / (k2 - k1), 1e-9)
+    log(f"{name:<26s} {dt*1e3:9.3f} ms/iter (compile {compile_s:.0f}s)")
+    return dt
+
+
+from sdr_channelizer_tpu.config import PdwConfig, bands_for_bin_width
+from sdr_channelizer_tpu.io import iqpacket
 from sdr_channelizer_tpu.models import ChannelizerPipeline
-from sdr_channelizer_tpu.signal.synth import PulseTrainSpec, pulse_train, pulse_starts
+from sdr_channelizer_tpu.signal.synth import (
+    PulseTrainSpec, pulse_train, pulse_starts,
+)
+
 log("devices:", jax.devices())
+dev = jax.devices()[0]
+results = {"device": f"{dev.platform}:{dev.device_kind}"}
 
-# Ground-truth validation on the fused path (f32 planes in, PDW out).
-spec = PulseTrainSpec(sample_rate_sps=8e6, duration_sec=4e-3, frequency_hz=2.3e6,
-                      pulse_width_sec=100e-6, pri_sec=500e-6, start_index=1234,
-                      noise_std=3e-3)
-iq = pulse_train(spec, seed=7)
-n = len(iq) // 8 * 8
-cfg = PdwConfig.channelized(max_pulses=32, max_pulse_samples=512)
-pipe = ChannelizerPipeline.create(8, pdw_cfg=cfg)
-t0 = time.perf_counter()
-p = pipe.extract_fused(
-    np.stack([np.real(iq[:n]), np.imag(iq[:n])], -1).astype(np.float32),
-    bit_width=0, fs=8e6, sample_start_time=0.0)
-log(f"fused extract (compile+run+fetch) {time.perf_counter()-t0:.1f}s, {len(p['toa'])} pdws")
-strong = p["snr"] > 25
-truth = len(pulse_starts(spec))
-assert strong.sum() == truth, (strong.sum(), truth)
-assert abs(np.median(p["pw"][strong]) - 100e-6) < 15e-6
-assert np.all(np.abs(p["freq"][strong] - 2.3e6) < 0.5e6)
-log("TPU FUSED PIPELINE: GROUND TRUTH OK")
 
-# Throughput of the full fused pipeline at flagship scale.
-n2 = 64 * 262144  # 16.7M samples
-cfg2 = PdwConfig.channelized(max_pulses=512, max_pulse_samples=1024)
-pipe2 = ChannelizerPipeline.create(64, pdw_cfg=cfg2)
+def touch(*xs):
+    tot = jnp.zeros((), jnp.float32)
+    for x in xs:
+        tot = tot + jnp.sum(x.astype(jnp.float32))
+    return tot
+
+
+def check_truth(pipe, spec, m, bit_width, label, freq_tol, pw_tol=0.15):
+    iq = pulse_train(spec, seed=7)
+    n = len(iq) // m * m
+    samples = np.ascontiguousarray(iqpacket.from_complex(iq[:n], bit_width))
+    t0 = time.perf_counter()
+    p = pipe.extract_fused(samples, bit_width=bit_width,
+                           fs=spec.sample_rate_sps, sample_start_time=0.0)
+    wall = time.perf_counter() - t0
+    # Strong pulses in the tone's own bin (edge transients in far bins are
+    # real detections — the dense-bench regime — not ground-truth pulses).
+    strong = (p["snr"] > 25) & (np.abs(p["freq"] - spec.frequency_hz)
+                                < freq_tol)
+    truth = len(pulse_starts(spec))
+    assert strong.sum() == truth, (label, strong.sum(), truth)
+    assert abs(np.median(p["pw"][strong]) - spec.pulse_width_sec) \
+        < pw_tol * spec.pulse_width_sec
+    log(f"{label}: GROUND TRUTH OK ({int(strong.sum())} pulses, "
+        f"compile+run {wall:.1f}s)")
+    results[label] = {"pulses": int(strong.sum()),
+                      "compile_plus_run_s": round(wall, 1)}
+
+
+# ---- 1. small-scale truth, 12-bit, M=8 (the round-1..3 gate, cm2 route)
+spec8 = PulseTrainSpec(sample_rate_sps=8e6, duration_sec=4e-3,
+                       frequency_hz=2.3e6, pulse_width_sec=100e-6,
+                       pri_sec=500e-6, start_index=1234, noise_std=3e-3)
+pipe8 = ChannelizerPipeline.create(
+    8, pdw_cfg=PdwConfig.channelized(max_pulses=32, max_pulse_samples=512))
+check_truth(pipe8, spec8, 8, 12, "truth_m8_int12", freq_tol=0.5e6)
+
+# ---- 2. int8 packed ingest truth (SC8_Q7 recorders), M=8
+check_truth(pipe8, spec8, 8, 8, "truth_m8_int8", freq_tol=0.5e6)
+
+# ---- 3. fine-grained M=560 (0.1 MHz bins at 56 Msps) truth + timing
+FS = 56e6
+M560 = bands_for_bin_width(FS, 0.1e6)
+assert M560 == 560, M560
+spec560 = PulseTrainSpec(sample_rate_sps=FS, duration_sec=30e-3,
+                         frequency_hz=7.3e6, pulse_width_sec=400e-6,
+                         pri_sec=2000e-6, start_index=3001, noise_std=3e-3)
+cfg560 = PdwConfig.channelized(max_pulses=64, max_pulse_samples=256)
+pipe560 = ChannelizerPipeline.create(M560, pdw_cfg=cfg560)
+check_truth(pipe560, spec560, M560, 12, "truth_m560_int12",
+            freq_tol=0.049e6, pw_tol=0.25)
+
+# Timing at a production-scale M=560 shape: 0.25 s of 56 Msps = 14M samples.
+frames560 = 25088  # 14.05M samples, multiple of the kernel block grid
+n560 = frames560 * M560
 rng = np.random.default_rng(0)
-t = np.arange(n2)
-sig = (0.001*(rng.standard_normal(n2)+1j*rng.standard_normal(n2))).astype(np.complex64)
-tone = np.exp(2j*np.pi*1.3e6/64e6*t)
-for s in range(137, n2-6400, 64000):
-    sig[s:s+6400] = tone[s:s+6400]
-xr = jax.device_put(np.real(sig).astype(np.float32).copy())
-xi = jax.device_put(np.imag(sig).astype(np.float32).copy())
-t0 = time.perf_counter()
-out = pipe2.step_fused(xr, xi, bit_width=0)
-sync(out)
-log(f"flagship fused compile+first {time.perf_counter()-t0:.1f}s count={int(np.asarray(out[2].count).sum())}")
-t0 = time.perf_counter(); sync(out); fence = time.perf_counter()-t0
-iters = 10
-t0 = time.perf_counter()
-for _ in range(iters):
-    out = pipe2.step_fused(xr, xi, bit_width=0)
-sync(out)
-dt = (time.perf_counter()-t0-fence)/iters
-log(f"FLAGSHIP FUSED PIPELINE: {n2/dt/1e6:.0f} Msps/chip ({dt*1e3:.2f} ms/step)")
-log("done")
+sig = (0.001 * (rng.standard_normal(n560) + 1j * rng.standard_normal(n560))
+       ).astype(np.complex64)
+t = np.arange(n560)
+tone = np.exp(2j * np.pi * 7.3e6 / FS * t)
+for s in range(137, n560 - 22400, 112000):
+    sig[s:s + 22400] = tone[s:s + 22400]
+q560 = jax.device_put(np.ascontiguousarray(
+    iqpacket.from_complex(sig, 12)).view(np.int32).ravel(), dev)
+
+
+def fwd560(q):
+    nf, _, batch = pipe560.forward_packed(q, bit_width=12)
+    return touch(nf, batch.mag, batch.snr_db,
+                 batch.toa_idx.astype(jnp.float32))
+
+
+dt = graph_time("m560_packed_step", fwd560, q560)
+results["m560_packed"] = {
+    "bands": M560, "samples": n560, "ms_per_step": round(dt * 1e3, 2),
+    "msps": round(n560 / dt / 1e6, 1),
+}
+
+# ---- 4. int8 packed at the flagship M=64 shape: in-graph Msps
+from bench import _make_capture
+
+BANDS, FRAMES = 64, 262144
+N = BANDS * FRAMES
+cap = _make_capture(N, BANDS)
+q8 = jax.device_put(np.ascontiguousarray(
+    iqpacket.from_complex(cap, 8)).view(np.int16).ravel(), dev)
+pipe64 = ChannelizerPipeline.create(
+    BANDS, pdw_cfg=PdwConfig.channelized(max_pulses=512,
+                                         max_pulse_samples=1024))
+
+
+def fwd8(q):
+    nf, _, batch = pipe64.forward_packed(q, bit_width=8)
+    return touch(nf, batch.mag, batch.snr_db,
+                 batch.toa_idx.astype(jnp.float32))
+
+
+dt = graph_time("m64_int8_packed_step", fwd8, q8)
+results["m64_int8_packed"] = {
+    "samples": N, "ms_per_step": round(dt * 1e3, 2),
+    "msps": round(N / dt / 1e6, 1),
+}
+
+# ---- 5. packed spectrogram (hamming-768, zero overlap) timing
+from sdr_channelizer_tpu.dsp.spectrogram import stft_power_packed
+
+q12 = jax.device_put(np.ascontiguousarray(
+    iqpacket.from_complex(cap, 12)).view(np.int32).ravel(), dev)
+dt = graph_time(
+    "spectrogram_packed", lambda q: touch(stft_power_packed(q, 12)), q12)
+results["spectrogram_packed"] = {
+    "samples": N, "window": 768, "ms_per_step": round(dt * 1e3, 2),
+    "msps": round(N / dt / 1e6, 1),
+}
+
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+with open(os.path.join(repo, "VALIDATE_r04.json"), "w") as f:
+    json.dump(results, f, indent=1, sort_keys=True)
+log("wrote VALIDATE_r04.json")
+log(json.dumps(results, indent=1, sort_keys=True))
