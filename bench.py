@@ -309,8 +309,13 @@ def main() -> None:
 
     msps = n / dt / 1e6
     msps_sparse = n / dt_sparse / 1e6
+    # Published variance band (round-4 ask: one number ± a stated bound):
+    # spread of the per-rep in-graph estimates around the best estimate.
+    spread_pct = (0.0 if dt <= 0 else
+                  round((max(ests) - min(ests)) / dt * 100.0, 1))
     print(f"bench: dense  {dt*1e3:.2f} ms/step ({int(n_dense)} pulses), "
-          f"latency p50 {lat_p50*1e3:.2f} ms", file=sys.stderr)
+          f"latency p50 {lat_p50*1e3:.2f} ms, rep spread {spread_pct}%",
+          file=sys.stderr)
     print(f"bench: sparse {dt_sparse*1e3:.2f} ms/step "
           f"({int(n_sparse)} pulses)", file=sys.stderr)
     print(
@@ -325,6 +330,7 @@ def main() -> None:
                 "sparse_msps": round(msps_sparse, 3),
                 "sparse_pulses_per_step": int(n_sparse),
                 "protocol": "in-graph fori_loop repetition",
+                "rep_spread_pct": spread_pct,
                 "ingest": ingest,
                 "device": f"{dev.platform}:{dev.device_kind}",
             }

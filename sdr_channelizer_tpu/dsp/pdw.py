@@ -823,8 +823,8 @@ def _extract_channelized_cm2(
     same order statistics, thresholds, and slot layout):
 
     * the latch runs channel-major (``pallas_latch_cumsums_cm``): no MXU
-      transpose flips, and for M <= 64 lead+trail cumsums pack into ONE
-      (128, T) array so the rank search is a single ``find_ranks_cm`` call;
+      transpose flips, and lead+trail cumsums stack into ONE (2R, T) array
+      for any M, so the rank search is a single ``find_ranks_cm`` call;
     * NO flat cross-channel compaction: the short/long stats tiers run on
       the per-channel (M, p_slots) slot grid with tier-masked sentinels —
       the kernel's per-tile live flags skip empty tiles, so the two
@@ -857,22 +857,15 @@ def _extract_channelized_cm2(
     else:
         trail_thresh = noise_floor * 10.0 ** (cfg.trailing_threshold_db / 10.0)
 
-    cums = pallas_latch_cumsums_cm(mag_cm, lead_thresh, trail_thresh, m)
-    ranks1 = jnp.arange(1, p_slots + 1, dtype=jnp.float32)
-    if not isinstance(cums, tuple):
-        # Packed pair: rows [0, R/2) lead, [R/2, R) trail — one search.
-        half = r // 2
-        ranks = jnp.broadcast_to(ranks1[None, :], (r, p_slots))
-        idx = find_ranks_cm(cums, ranks, t_len)
-        toa_idx = idx[:m]
-        te_idx = idx[half:half + m]
-        n_own = cums[:m, t_len - 1].astype(jnp.int32)
-    else:
-        cl_cm, ct_cm = cums
-        ranks = jnp.broadcast_to(ranks1[None, :], (m, p_slots))
-        toa_idx = find_ranks_cm(cl_cm[:m], ranks, t_len)
-        te_idx = find_ranks_cm(ct_cm[:m], ranks, t_len)
-        n_own = cl_cm[:m, t_len - 1].astype(jnp.int32)
+    packed = pallas_latch_cumsums_cm(mag_cm, lead_thresh, trail_thresh, m)
+    # (2R, T): rows [0, R) lead cumsums, [R, 2R) trail — one search.
+    ranks = jnp.broadcast_to(
+        jnp.arange(1, p_slots + 1, dtype=jnp.float32)[None, :],
+        (2 * r, p_slots))
+    idx = find_ranks_cm(packed, ranks, t_len)
+    toa_idx = idx[:m]
+    te_idx = idx[r:r + m]
+    n_own = packed[:m, t_len - 1].astype(jnp.int32)
     # Pin the rank-search outputs: the tail's many consumers share ONE
     # materialized copy instead of re-running the cumsum reads
     # (TAIL_BISECT_r03.json v_bar, -0.6 ms/step).

@@ -118,6 +118,38 @@ class Segment:
             return np.zeros(0, np.complex64)
         return out[0] if len(out) == 1 else np.concatenate(out)
 
+    def read_samples_raw(self, start: int, count: int) -> np.ndarray:
+        """Raw-payload twin of :meth:`read_samples`: the (count, 2)
+        int8/int16 samples straight off the mmap, no normalization — the
+        packed-ingest streaming path ships these bytes to the device
+        untouched (dequant in-kernel).  All files in a segment must share
+        one payload dtype."""
+        out = []
+        pos = 0
+        remaining = count
+        dtype = None
+        for path, hdr in zip(self.paths, self.headers):
+            n = hdr.num_samples
+            if remaining <= 0:
+                break
+            if pos + n > start:
+                lo = max(start - pos, 0)
+                hi = min(n, lo + remaining)
+                _, samples = iqpacket.read_iq(path)
+                part = np.asarray(samples[lo:hi])
+                if dtype is None:
+                    dtype = part.dtype
+                elif part.dtype != dtype:
+                    raise ValueError(
+                        f"mixed payload dtypes in segment: {dtype} vs "
+                        f"{part.dtype} ({path})")
+                out.append(part)
+                remaining -= hi - lo
+            pos += n
+        if not out:
+            return np.zeros((0, 2), np.int16)
+        return out[0] if len(out) == 1 else np.concatenate(out)
+
 
 @dataclasses.dataclass
 class CaptureSet:
@@ -233,6 +265,59 @@ class StreamingExtractor:
             )
             yield y
 
+    def _noise_floor_from_mag_blocks(self, make_mag_blocks) -> np.ndarray:
+        """Exact per-channel median from an iterator factory of host (T, M)
+        float32 magnitude blocks — the two counting passes of
+        :meth:`measure_noise_floor`, source-agnostic (the fused packed path
+        feeds it kernel-emitted magnitudes)."""
+        bins = 1 << 16
+        hist_hi = None
+        n_total = 0
+        for mag in make_mag_blocks():
+            keys = _sortable_u32_np(mag)  # (T, M)
+            m = keys.shape[1]
+            if hist_hi is None:
+                hist_hi = np.zeros((m, bins), np.int64)
+            flat = (keys >> np.uint32(16)).astype(np.int64) + np.arange(m) * bins
+            hist_hi += np.bincount(flat.ravel(), minlength=m * bins).reshape(m, bins)
+            n_total += keys.shape[0]
+        if not n_total:
+            raise ValueError("empty sample stream: no samples to measure")
+        m = hist_hi.shape[0]
+
+        ks = (max((n_total - 1) // 2, 0), n_total // 2)
+        cum = np.cumsum(hist_hi, axis=1)
+        need = {}
+        locs = np.empty((m, 2), np.int64)
+        below = np.empty((m, 2), np.int64)
+        for c in range(m):
+            for j, k in enumerate(ks):
+                b = int(np.searchsorted(cum[c], k + 1, side="left"))
+                locs[c, j] = b
+                below[c, j] = int(cum[c, b - 1]) if b else 0
+                need.setdefault((c, b), len(need))
+
+        hist_lo = np.zeros((len(need), bins), np.int64)
+        for mag in make_mag_blocks():
+            keys = _sortable_u32_np(mag)
+            for (c, b), row in need.items():
+                col = keys[:, c]
+                sel = col[(col >> np.uint32(16)) == b]
+                if sel.size:
+                    hist_lo[row] += np.bincount(
+                        (sel & np.uint32(0xFFFF)).astype(np.int64),
+                        minlength=bins)
+
+        vals = np.empty((m, 2), np.float32)
+        for c in range(m):
+            for j in range(2):
+                b = locs[c, j]
+                cl = np.cumsum(hist_lo[need[(c, b)]])
+                r = ks[j] - below[c, j]
+                low = int(np.searchsorted(cl, r + 1, side="left"))
+                vals[c, j] = _u32_to_f32_np(np.uint32((b << 16) | low))[0]
+        return np.float32(0.5) * (vals[:, 0] + vals[:, 1])
+
     def measure_noise_floor(self, make_sample_blocks) -> np.ndarray:
         """Exact per-channel median magnitude over the whole stream in
         O(block) memory (pass 1 of the exact two-pass mode).
@@ -251,59 +336,13 @@ class StreamingExtractor:
         ``make_sample_blocks``: zero-arg callable returning a fresh
         sample-block iterator (consumed twice).
         """
-        bins = 1 << 16
-        hist_hi = None
-        n_total = 0
-        for y in self._channelized_blocks(make_sample_blocks()):
-            # |y| on device, f32 fetch (complex d2h is unimplemented on
-            # some TPU transports).
-            keys = _sortable_u32_np(np.asarray(jnp.abs(y)))  # (T, M)
-            m = keys.shape[1]
-            if hist_hi is None:
-                hist_hi = np.zeros((m, bins), np.int64)
-            flat = (keys >> np.uint32(16)).astype(np.int64) + np.arange(m) * bins
-            hist_hi += np.bincount(flat.ravel(), minlength=m * bins).reshape(m, bins)
-            n_total += keys.shape[0]
-        if not n_total:
-            raise ValueError("empty sample stream: no samples to measure")
-        m = hist_hi.shape[0]
+        def mag_blocks():
+            for y in self._channelized_blocks(make_sample_blocks()):
+                # |y| on device, f32 fetch (complex d2h is unimplemented
+                # on some TPU transports).
+                yield np.asarray(jnp.abs(y))
 
-        ks = (max((n_total - 1) // 2, 0), n_total // 2)  # lo/hi middle ranks
-        cum = np.cumsum(hist_hi, axis=1)
-        # For channel c and rank k: the hi-bucket holding the k-th smallest
-        # key, and the count of keys in strictly lower buckets.
-        need = {}  # (channel, bucket) -> row in hist_lo
-        locs = np.empty((m, 2), np.int64)  # bucket per (channel, rank)
-        below = np.empty((m, 2), np.int64)
-        for c in range(m):
-            for j, k in enumerate(ks):
-                b = int(np.searchsorted(cum[c], k + 1, side="left"))
-                locs[c, j] = b
-                below[c, j] = int(cum[c, b - 1]) if b else 0
-                need.setdefault((c, b), len(need))
-
-        hist_lo = np.zeros((len(need), bins), np.int64)
-        for y in self._channelized_blocks(make_sample_blocks()):
-            keys = _sortable_u32_np(np.asarray(jnp.abs(y)))
-            for (c, b), row in need.items():
-                col = keys[:, c]
-                sel = col[(col >> np.uint32(16)) == b]
-                if sel.size:
-                    hist_lo[row] += np.bincount(
-                        (sel & np.uint32(0xFFFF)).astype(np.int64), minlength=bins
-                    )
-
-        vals = np.empty((m, 2), np.float32)
-        for c in range(m):
-            for j in range(2):
-                b = locs[c, j]
-                cl = np.cumsum(hist_lo[need[(c, b)]])
-                r = ks[j] - below[c, j]
-                low = int(np.searchsorted(cl, r + 1, side="left"))
-                vals[c, j] = _u32_to_f32_np(
-                    np.uint32((b << 16) | low)
-                )[0]
-        return np.float32(0.5) * (vals[:, 0] + vals[:, 1])
+        return self._noise_floor_from_mag_blocks(mag_blocks)
 
     def extract(
         self,
@@ -486,6 +525,154 @@ class StreamingExtractor:
                     sat = jnp.concatenate([sat, jnp.zeros((1, m), bool)])
                 batch, a_blk, b_blk = self._detect_block(
                     mag, ph, sat, nf, entry, own_len=t_k
+                )
+                batch = jax.tree.map(np.asarray, batch)
+                if path:
+                    np.savez(
+                        path, a=np.asarray(a_blk), b=np.asarray(b_blk),
+                        **{n: getattr(batch, n) for n in field_names},
+                    )
+            entry = jnp.where(entry, jnp.asarray(b_blk), jnp.asarray(a_blk))
+            results.append(batch)
+            offsets.append(f0)
+        return self._finalize(results, offsets, fs, fc, t0)
+
+    def extract_segment_fused(
+        self,
+        segment: Segment,
+        fc: float = 0.0,
+        noise_floor: Union[str, np.ndarray] = "two_pass",
+        checkpoint_dir: Optional[str] = None,
+    ) -> dict:
+        """Packed-ingest fused-kernel streaming extraction — the TPU fast
+        path for captures past one device buffer (>2^24 samples and beyond).
+
+        Same block/checkpoint/latch-chaining contract as
+        :meth:`extract_segment`, but each block's raw int16/int8 payload
+        ships to the device untouched and runs through the fused Pallas
+        channelize + detection-streams kernel (overlap-save FIR history
+        from the previous block's raw tail), with per-pulse statistics on
+        the ``pulse_stats`` kernel — no complex arithmetic anywhere, so the
+        graph lowers on TPU transports without complex support, at the
+        single-shot headline path's throughput per block.
+
+        Output equals the single-shot fused extraction
+        (``models.ChannelizerPipeline.extract_fused``) pulse-for-pulse for
+        pulses within the halo contract (NOT the FFT-oracle path — the
+        fused kernel computes the DFT as matmuls; values differ from FFT
+        rounding at the last ulp).  Checkpoints are one ``.npz`` per block
+        (separate directory from :meth:`extract_segment` runs — the block
+        payloads differ).
+        """
+        import os
+
+        from sdr_channelizer_tpu.ops.pallas.channelizer_kernel import (
+            pallas_channelize_streams_packed_cm,
+        )
+
+        if self.channelizer is None:
+            raise ValueError("extract_segment_fused requires a channelizer "
+                             "(wideband streaming uses extract_segment)")
+        chan = self.channelizer
+        hdr0 = segment.headers[0]
+        fs = hdr0.sample_rate_sps
+        bit_width = hdr0.bit_width
+        t0 = segment.start_time
+        m = chan.num_bands
+        p = chan.taps_per_band
+        cfg = self.pdw_cfg
+        halo = self._halo
+        block = self.block_frames
+        n_frames = segment.num_samples // m
+        n_blocks = max((n_frames + block - 1) // block, 1)
+        if not pdwmod._pallas_stats_ok(block + halo, cfg):
+            raise ValueError(
+                f"block_frames+halo = {block + halo} does not fit the "
+                f"pulse_stats kernel (window {cfg.max_pulse_samples}); "
+                f"adjust block_frames or max_pulse_samples")
+
+        def packed_view(raw):
+            raw = np.ascontiguousarray(raw)
+            return jnp.asarray(
+                raw.view(np.int32 if raw.dtype == np.int16 else np.int16
+                         ).ravel())
+
+        def read_block(f0, t_k, h_k):
+            """(history_packed | None, xq_packed) covering
+            [f0 - hist, f0 + t_k + h_k) frames."""
+            hist_frames = min(p - 1, f0)
+            raw = segment.read_samples_raw(
+                (f0 - hist_frames) * m, (hist_frames + t_k + h_k) * m)
+            hist = (packed_view(raw[: hist_frames * m])
+                    if hist_frames == p - 1 else None)
+            if hist is None and f0 > 0:
+                # mid-capture block with short history (f0 < P-1): pad left
+                pad = np.zeros(((p - 1 - hist_frames) * m, raw.shape[1]),
+                               raw.dtype)
+                hist = packed_view(np.concatenate([pad, raw[: hist_frames * m]]))
+            return hist, packed_view(raw[hist_frames * m:])
+
+        ck = checkpoint_dir
+        if ck:
+            os.makedirs(ck, exist_ok=True)
+
+        def _ck_path(k):
+            return os.path.join(ck, f"block_{k:06d}.npz") if ck else None
+
+        if isinstance(noise_floor, str) and noise_floor == "two_pass":
+            nf_path = os.path.join(ck, "noise_floor.npz") if ck else None
+            if nf_path and os.path.exists(nf_path):
+                nf = jnp.asarray(np.load(nf_path)["nf"])
+            else:
+                def mag_blocks():
+                    for k in range(n_blocks):
+                        f0 = k * block
+                        t_k = min(block, n_frames - f0)
+                        hist, xq = read_block(f0, t_k, 0)
+                        mag, _, _, _ = pallas_channelize_streams_packed_cm(
+                            xq, chan.taps_rev, bit_width=bit_width,
+                            sat_level=cfg.saturation_level, history=hist)
+                        yield np.asarray(mag[:t_k])
+
+                nf = jnp.asarray(self._noise_floor_from_mag_blocks(mag_blocks))
+                if nf_path:
+                    np.savez(nf_path, nf=np.asarray(nf))
+        elif isinstance(noise_floor, str):
+            raise ValueError(f"unsupported noise_floor mode {noise_floor!r}")
+        else:
+            nf = jnp.asarray(noise_floor)
+
+        field_names = ("toa_idx", "te_idx", "pw_sec", "mag", "snr_db",
+                       "freq_offset_hz", "saturated", "valid", "count")
+        results, offsets = [], []
+        entry = jnp.zeros((m,), bool)
+        for k in range(n_blocks):
+            f0 = k * block
+            t_k = min(block, n_frames - f0)
+            path = _ck_path(k)
+            self.counters.add("blocks_processed")
+            self.counters.add("samples_ingested", t_k * m)
+            if path and os.path.exists(path):
+                z = np.load(path)
+                batch = pdwmod.PdwBatch(**{n: z[n] for n in field_names})
+                a_blk, b_blk = jnp.asarray(z["a"]), jnp.asarray(z["b"])
+                self.counters.add("blocks_resumed_from_checkpoint")
+            else:
+                h_k = min(halo, n_frames - f0 - t_k)
+                hist, xq = read_block(f0, t_k, h_k)
+                mag, mag_cm, dph_cm, sat_cm = \
+                    pallas_channelize_streams_packed_cm(
+                        xq, chan.taps_rev, bit_width=bit_width,
+                        sat_level=cfg.saturation_level, history=hist)
+                mag = mag[: t_k + h_k]
+                batch = pdwmod._extract_channelized_pallas_stats(
+                    mag, None, None, cfg, nf,
+                    entry_active=entry, own_len=t_k,
+                    cm_streams=(mag_cm, dph_cm, sat_cm),
+                )
+                a_blk, b_blk = pdwmod.block_transfer(
+                    mag[:t_k].T, nf[:, None],
+                    cfg.snr_threshold_db, cfg.trailing_threshold_db,
                 )
                 batch = jax.tree.map(np.asarray, batch)
                 if path:

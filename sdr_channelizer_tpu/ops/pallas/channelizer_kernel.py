@@ -249,7 +249,7 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
                     *refs, block_frames: int, taps_per_band: int,
                     scale: float, sat_level: float, packed: bool = False,
                     channel_major: bool = False, t_len: int = 0,
-                    cm2: bool = False):
+                    cm2: bool = False, m_out: int = 0):
     """Fused channelize + detection-stream kernel: int16 (or f32) planes in;
     magnitude, phase (degrees), and saturation-mask blocks out.
 
@@ -404,11 +404,17 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
         ]
         return jnp.concatenate(tiles, axis=1)
 
-    mag_cm_ref[...] = flip_val(mag_live)
-    dph_cm_ref[...] = flip_val(d)
     if not cm2:
+        mag_cm_ref[...] = flip_val(mag_live)
+        dph_cm_ref[...] = flip_val(d)
         sat_cm_ref[...] = flip_val(sat_live)
         return
+
+    # Slim outputs: only the first m_out (8-aligned real-channel) rows are
+    # written — for M=64 that halves the stream HBM traffic vs emitting
+    # the full 128 lane-pad rows.
+    mag_cm_ref[...] = flip_val(mag_live)[:m_out]
+    dph_cm_ref[...] = flip_val(d)[:m_out]
 
     # Inclusive per-channel saturation cumsum along time, carried across
     # the (sequential) grid: counts < 2^24 stay f32-exact.
@@ -416,7 +422,7 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
     def _():
         sat_carry[...] = jnp.zeros_like(sat_carry)
 
-    sc = flip_val(sat_live)
+    sc = flip_val(sat_live)[:m_out]
     lane = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
     s = 1
     while s < t_blk:
@@ -536,30 +542,32 @@ def _pallas_fir_dft_streams_cm(
 @functools.partial(
     jax.jit,
     static_argnames=("block_frames", "scale", "sat_level", "interpret",
-                     "packed", "t_len"),
+                     "packed", "t_len", "m_out"),
 )
 def _pallas_fir_dft_streams_cm2(
     xr, xi, taps, wr, wi, *,
     block_frames: int, scale: float, sat_level: float, t_len: int,
-    interpret: bool = False, packed: bool = False,
+    m_out: int, interpret: bool = False, packed: bool = False,
 ):
-    """v2 channel-major variant: returns ``(mag_cm, dph_cm, satcs_cm)`` —
-    NO time-major output (67 MB less HBM write per 16.7M-sample step; the
-    noise floor and latch consume the cm stream directly) and saturation
+    """v2 channel-major variant: returns ``(mag_cm, dph_cm, satcs_cm)`` as
+    SLIM ``(m_out, T_pad)`` arrays (m_out = 8-aligned real channels — for
+    M=64 half the HBM of 128-lane-pad rows), NO time-major output (the
+    noise floor and latch consume the cm stream directly), and saturation
     as an inclusive per-channel cumsum (the stats stage then needs two
     gathers per pulse instead of a third whole-window DMA per slot)."""
     p, m = taps.shape
     win = _win_rows(block_frames + 8, p)
     n_frames = xr.shape[0] - (win - block_frames)
     assert n_frames % block_frames == 0
+    assert m_out % 8 == 0 and m_out <= m
     n_blocks = n_frames // block_frames
 
     kernel = functools.partial(
         _streams_kernel, block_frames=block_frames, taps_per_band=p,
         scale=scale, sat_level=sat_level, packed=packed,
-        channel_major=True, t_len=t_len, cm2=True,
+        channel_major=True, t_len=t_len, cm2=True, m_out=m_out,
     )
-    out_cm = pl.BlockSpec((m, block_frames), lambda i: (0, i),
+    out_cm = pl.BlockSpec((m_out, block_frames), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -574,15 +582,15 @@ def _pallas_fir_dft_streams_cm2(
         ],
         out_specs=[out_cm, out_cm, out_cm],
         out_shape=[
-            jax.ShapeDtypeStruct((m, n_frames), jnp.float32),
-            jax.ShapeDtypeStruct((m, n_frames), jnp.float32),
-            jax.ShapeDtypeStruct((m, n_frames), jnp.float32),
+            jax.ShapeDtypeStruct((m_out, n_frames), jnp.float32),
+            jax.ShapeDtypeStruct((m_out, n_frames), jnp.float32),
+            jax.ShapeDtypeStruct((m_out, n_frames), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, win, m), xr.dtype),
             pltpu.VMEM((2, win, m), xi.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.VMEM((m, 128), jnp.float32),  # sat cumsum carry
+            pltpu.VMEM((m_out, 128), jnp.float32),  # sat cumsum carry
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
@@ -626,7 +634,8 @@ def pallas_channelize_streams_packed_cm2(
     return _pallas_fir_dft_streams_cm2(
         fr, fr, taps_p, wr_p, wi_p,
         block_frames=block_frames, scale=scale, sat_level=float(sat_level),
-        t_len=n_frames, interpret=interpret, packed=True,
+        t_len=n_frames, m_out=((m + 7) // 8) * 8, interpret=interpret,
+        packed=True,
     )
 
 
@@ -661,7 +670,7 @@ def pallas_channelize_streams_cm2(
     return _pallas_fir_dft_streams_cm2(
         prep(xr), prep(xi), taps_p, wr_p, wi_p,
         block_frames=block_frames, scale=scale, sat_level=float(sat_level),
-        t_len=n_frames, interpret=interpret,
+        t_len=n_frames, m_out=((m + 7) // 8) * 8, interpret=interpret,
     )
 
 
@@ -710,6 +719,7 @@ def pallas_channelize_streams_packed_cm(
     shift: bool = True,
     block_frames: int = 1024,
     interpret: bool = False,
+    history: Optional[jax.Array] = None,
 ):
     """Packed ingest + channel-major streams in one kernel pass.
 
@@ -720,6 +730,10 @@ def pallas_channelize_streams_packed_cm(
     (``transpose_kernel.py`` semantics: wrapped phase diff with a zero row
     at ``t_len - 1``, columns past ``t_len`` zero).  Replaces the separate
     transpose kernel pass on the headline path.
+
+    ``history``: optional ``(P-1, M)`` packed frames of FIR state entering
+    this block (the previous streaming block's tail, same packed dtype as
+    ``xq``); default zeros (the MATLAB System-object initial state).
     """
     p, m = taps_rev.shape
     n_frames = xq.shape[-1] // m
@@ -730,7 +744,11 @@ def pallas_channelize_streams_packed_cm(
     fr = xq[..., : n_frames * m].reshape(n_frames, m)
     n_pad = (-n_frames) % block_frames
     tail = n_pad + (_win_rows(block_frames + 8, p) - (block_frames + p - 1))
-    fr = jnp.pad(fr, ((p - 1, tail), (0, m_pad - m)))
+    if history is not None:
+        fr = jnp.concatenate([history.reshape(p - 1, m).astype(fr.dtype), fr])
+        fr = jnp.pad(fr, ((0, tail), (0, m_pad - m)))
+    else:
+        fr = jnp.pad(fr, ((p - 1, tail), (0, m_pad - m)))
 
     from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
 

@@ -140,31 +140,28 @@ def _latch_kernel(mag_ref, lead_ref, trail_ref, entry_ref, eye_ref,
 
 
 def _latch_cm_kernel(mag_ref, lead_ref, trail_ref, entry_ref,
-                     *out_and_scratch, t_blk: int, log_steps: int,
-                     half: int, pair: bool):
+                     packed_ref, carry, *, t_blk: int, log_steps: int):
     """Channel-major latch: grid over time blocks of a (R, T) channel-major
     magnitude, prefix composition ladders along LANES (time), carry in
     scratch — same algebra as :func:`_latch_kernel` but zero MXU flips and
-    half the output traffic: the streams arrive channel-major from the
-    fused channelizer kernel and the cumsums leave channel-major for the
-    rank search, so no layout change happens at all.
+    slimmer traffic: the streams arrive channel-major from the fused
+    channelizer kernel and the cumsums leave channel-major for the rank
+    search, so no layout change happens at all.
 
-    ``pair``: lead and trail cumulative counts are packed into ONE output —
-    rows [0, half) = lead, rows [half, 2*half) = trail (requires
-    ``m_real <= half``); otherwise two outputs.  Carry columns: 0 = latch
-    state, 1 = lead base (pair: packed base), 2 = trail base (non-pair).
+    Lead and trail cumulative counts stack into ONE (2R, t_blk) output by
+    row concatenation — rows [0, R) = lead, [R, 2R) = trail — for ANY
+    channel count (no lane-roll pair packing, no non-pair split), and the
+    edge-cumsum ladder runs once over the stacked array.  Carry scratch
+    (2R, LANES): col 0 = packed count base, col 1 rows [0, R) = latch
+    state.
     """
     i = pl.program_id(0)
-    if pair:
-        packed_ref, carry = out_and_scratch
-    else:
-        cl_ref, ct_ref, carry = out_and_scratch
     r = mag_ref.shape[0]
 
     @pl.when(i == 0)
     def _():
         carry[...] = jnp.zeros_like(carry)
-        carry[:, 0:1] = entry_ref[:, 0:1]
+        carry[0:r, 1:2] = entry_ref[:, 0:1]
 
     mag = mag_ref[...]
     t = ((mag >= lead_ref[:, 0:1]).astype(jnp.float32)
@@ -177,7 +174,7 @@ def _latch_cm_kernel(mag_ref, lead_ref, trail_ref, entry_ref,
         te = keep * pltpu.roll(t, s, axis=1)
         t = t + (1.0 - t * t) * te
 
-    entry = carry[:, 0:1]
+    entry = carry[0:r, 1:2]
     state = 0.5 * t * (t + 1.0) + (1.0 - t * t) * entry
     prev = pltpu.roll(state, 1, axis=1)
     is0 = (lane < 1).astype(jnp.float32)
@@ -185,54 +182,43 @@ def _latch_cm_kernel(mag_ref, lead_ref, trail_ref, entry_ref,
     lead = state * (1.0 - prev)
     trail = prev * (1.0 - state)
 
-    def ladder(bits):
-        out = bits
-        for k in range(log_steps):
-            s = 1 << k
-            keep = (lane >= s).astype(jnp.float32)
-            out = out + keep * pltpu.roll(out, s, axis=1)
-        return out
-
-    if pair:
-        packed = ladder(lead + pltpu.roll(trail, half, axis=0))
-        packed = carry[:, 1:2] + packed
-        packed_ref[...] = packed
-        carry[:, 0:1] = state[:, t_blk - 1 : t_blk]
-        carry[:, 1:2] = packed[:, t_blk - 1 : t_blk]
-    else:
-        cl = carry[:, 1:2] + ladder(lead)
-        ct = carry[:, 2:3] + ladder(trail)
-        cl_ref[...] = cl
-        ct_ref[...] = ct
-        carry[:, 0:1] = state[:, t_blk - 1 : t_blk]
-        carry[:, 1:2] = cl[:, t_blk - 1 : t_blk]
-        carry[:, 2:3] = ct[:, t_blk - 1 : t_blk]
+    bits = jnp.concatenate([lead, trail], axis=0)  # (2r, t_blk)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (2 * r, t_blk), 1)
+    for k in range(log_steps):
+        s = 1 << k
+        keep = (lane2 >= s).astype(jnp.float32)
+        bits = bits + keep * pltpu.roll(bits, s, axis=1)
+    packed = carry[:, 0:1] + bits
+    packed_ref[...] = packed
+    carry[:, 0:1] = packed[:, t_blk - 1 : t_blk]
+    carry[0:r, 1:2] = state[:, t_blk - 1 : t_blk]
 
 
-@functools.partial(jax.jit, static_argnames=("t_blk", "interpret", "pair"))
+@functools.partial(jax.jit, static_argnames=("t_blk", "interpret"))
 def _latch_cm_call(mag_cm, lead_col, trail_col, entry_col, *, t_blk: int,
-                   interpret: bool, pair: bool):
+                   interpret: bool):
     r, t_len = mag_cm.shape
     assert t_len % t_blk == 0, (t_len, t_blk)
     assert r % 8 == 0, r
     log_steps = int(np.log2(t_blk))
     assert (1 << log_steps) == t_blk
     kernel = functools.partial(_latch_cm_kernel, t_blk=t_blk,
-                               log_steps=log_steps, half=r // 2, pair=pair)
+                               log_steps=log_steps)
     blk = pl.BlockSpec((r, t_blk), lambda i: (0, i), memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((2 * r, t_blk), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
     col = pl.BlockSpec((r, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    n_out = 1 if pair else 2
     return pl.pallas_call(
         kernel,
         grid=(t_len // t_blk,),
         in_specs=[blk, col, col, col],
-        out_specs=[blk] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((r, t_len), jnp.float32)] * n_out,
-        scratch_shapes=[pltpu.VMEM((r, LANES), jnp.float32)],
+        out_specs=[blk2],
+        out_shape=[jax.ShapeDtypeStruct((2 * r, t_len), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2 * r, LANES), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
-    )(mag_cm, lead_col, trail_col, entry_col)
+    )(mag_cm, lead_col, trail_col, entry_col)[0]
 
 
 def pallas_latch_cumsums_cm(
@@ -243,30 +229,28 @@ def pallas_latch_cumsums_cm(
     entry_active=None,
     t_blk: int = 2048,
     interpret: bool = False,
-):
+) -> jax.Array:
     """Channel-major latch cumsums straight from channel-major magnitudes.
 
     ``mag_cm``: (R, T) float32 with the first ``m_real`` rows real channels
-    (the fused channelizer kernel's cm output; pad rows and pad columns
-    past the capture are zero — zero pad columns close any open pulse with
-    one trailing edge at the first pad column, and an exactly-zero
-    threshold holds rather than toggles, per the 3-state encoding note in
-    :func:`_latch_kernel`).  ``lead_thresh``/``trail_thresh``: (m_real,)
-    per-channel absolute thresholds.  T must be a multiple of ``t_blk``
-    (the channelizer kernel pads to its block grid; pass its padded T).
+    (the fused channelizer kernel's slim cm output, R = 8-aligned M; pad
+    rows and pad columns past the capture are zero — zero pad columns
+    close any open pulse with one trailing edge at the first pad column,
+    and an exactly-zero threshold holds rather than toggles, per the
+    3-state encoding note in :func:`_latch_kernel`).
+    ``lead_thresh``/``trail_thresh``: (m_real,) per-channel absolute
+    thresholds.  T must be a multiple of ``t_blk`` (the channelizer kernel
+    pads to its block grid; pass its padded T).
 
-    Returns ONE (R, T) array when ``2 * m_real <= R`` — rows [0, R/2) =
-    ``cumsum(lead_edge)``, rows [R/2, R) = ``cumsum(trail_edge)`` (the
-    rank search reads both from the same array in one call) — else a
-    ``(cl, ct)`` tuple of (R, T) arrays.  Versus :func:`pallas_latch_cumsums`
-    this skips the MXU transpose flips entirely and writes half the HBM
-    (one packed output instead of two padded ones).
+    Returns ONE (2R, T) array: rows [0, R) = ``cumsum(lead_edge)``, rows
+    [R, 2R) = ``cumsum(trail_edge)`` — any channel count, one rank-search
+    call.  Versus :func:`pallas_latch_cumsums` this skips the MXU
+    transpose flips entirely and reads/writes no 128-row padding.
     """
     interpret = interpret or jax.devices()[0].platform == "cpu"
     r, t_len = mag_cm.shape
     while t_len % t_blk:
         t_blk //= 2
-    pair = 2 * m_real <= r
 
     def prep_col(v, fill):
         colv = jnp.full((r,), fill, jnp.float32).at[:m_real].set(
@@ -279,9 +263,8 @@ def pallas_latch_cumsums_cm(
         entry_col = jnp.zeros((r, LANES), jnp.float32)
     else:
         entry_col = prep_col(entry_active, 0.0)
-    out = _latch_cm_call(mag_cm, lead_col, trail_col, entry_col,
-                         t_blk=t_blk, interpret=interpret, pair=pair)
-    return out[0] if pair else (out[0], out[1])
+    return _latch_cm_call(mag_cm, lead_col, trail_col, entry_col,
+                          t_blk=t_blk, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("t_blk", "interpret", "m_real"))

@@ -146,9 +146,12 @@ def test_cm2_kernel_streams_match_cm():
     _, mag_cm, dph_cm, sat_cm = pallas_channelize_streams_cm(
         xr, xi, chan.taps_rev, **kw)
     got = pallas_channelize_streams_cm2(xr, xi, chan.taps_rev, **kw)
-    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(mag_cm))
-    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(dph_cm))
-    want_cs = np.cumsum(np.asarray(sat_cm), axis=1, dtype=np.float32)
+    # cm2 emits SLIM (8-aligned M) rows — compare against the real rows.
+    r = got[0].shape[0]
+    assert r == ((M + 7) // 8) * 8
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(mag_cm)[:r])
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(dph_cm)[:r])
+    want_cs = np.cumsum(np.asarray(sat_cm)[:r], axis=1, dtype=np.float32)
     np.testing.assert_array_equal(np.asarray(got[2]), want_cs)
 
     xq = jnp.asarray(samples.view(np.int32).ravel())

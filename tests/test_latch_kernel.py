@@ -129,7 +129,8 @@ def test_sort_free_extraction_parity(monkeypatch):
 
 class TestLatchCm:
     """Channel-major latch kernel (pallas_latch_cumsums_cm): same cumsums
-    as the XLA associative-scan oracle, zero MXU flips."""
+    as the XLA associative-scan oracle, zero MXU flips; ONE (2R, T) output
+    (rows [0, R) lead, [R, 2R) trail) for any channel count."""
 
     def _oracle(self, mag_tm, lead, trail):
         import jax.numpy as jnp
@@ -156,27 +157,29 @@ class TestLatchCm:
         nf = np.median(mag, axis=0).astype(np.float32)
         return mag, nf * 10.0, nf * 3.0
 
-    @pytest.mark.parametrize("m,t_len", [(8, 1024), (64, 2048), (3, 512)])
-    def test_pair_matches_oracle(self, m, t_len):
+    @pytest.mark.parametrize("m,t_len", [(8, 1024), (64, 2048), (3, 512),
+                                         (100, 512)])
+    def test_matches_oracle(self, m, t_len):
         import jax.numpy as jnp
         from sdr_channelizer_tpu.ops.pallas.latch_kernel import (
             pallas_latch_cumsums_cm,
         )
 
         mag, lead, trail = self._make(t_len, m, open_at_end=True)
-        r = 128
+        r = ((m + 7) // 8) * 8
         mag_cm = np.zeros((r, t_len), np.float32)
         mag_cm[:m] = mag.T
         packed = pallas_latch_cumsums_cm(
             jnp.asarray(mag_cm), jnp.asarray(lead), jnp.asarray(trail),
             m_real=m, t_blk=256)
-        assert not isinstance(packed, tuple)
+        assert packed.shape == (2 * r, t_len)
         cl_want, ct_want = self._oracle(jnp.asarray(mag), jnp.asarray(lead),
                                         jnp.asarray(trail))
         np.testing.assert_array_equal(np.asarray(packed)[:m], cl_want)
-        np.testing.assert_array_equal(np.asarray(packed)[64:64 + m], ct_want)
+        np.testing.assert_array_equal(np.asarray(packed)[r:r + m], ct_want)
         # pad rows count nothing
-        np.testing.assert_array_equal(np.asarray(packed)[m:64], 0.0)
+        np.testing.assert_array_equal(np.asarray(packed)[m:r], 0.0)
+        np.testing.assert_array_equal(np.asarray(packed)[r + m:], 0.0)
 
     def test_zero_pad_columns_close_open_pulse(self):
         """Zero pad columns (the channelizer kernel's t_len..T_pad range)
@@ -187,8 +190,9 @@ class TestLatchCm:
         )
 
         t_len, t_pad, m = 200, 256, 2
+        r = 8
         mag, lead, trail = self._make(t_len, m, open_at_end=True)
-        mag_cm = np.zeros((128, t_pad), np.float32)
+        mag_cm = np.zeros((r, t_pad), np.float32)
         mag_cm[:m, :t_len] = mag.T
         packed = np.asarray(pallas_latch_cumsums_cm(
             jnp.asarray(mag_cm), jnp.asarray(lead), jnp.asarray(trail),
@@ -197,30 +201,11 @@ class TestLatchCm:
                                         jnp.asarray(trail))
         cl_want, ct_want = np.asarray(cl_want), np.asarray(ct_want)
         np.testing.assert_array_equal(packed[:m, :t_len], cl_want)
-        np.testing.assert_array_equal(packed[64:64 + m, :t_len], ct_want)
+        np.testing.assert_array_equal(packed[r:r + m, :t_len], ct_want)
         # channel 0's open pulse closes at column t_len, then stays flat
-        assert packed[64, t_len] == ct_want[0, -1] + 1
-        np.testing.assert_array_equal(packed[64, t_len:],
-                                      packed[64, t_len])
+        assert packed[r, t_len] == ct_want[0, -1] + 1
+        np.testing.assert_array_equal(packed[r, t_len:], packed[r, t_len])
         # no lead edges fire in the pad
         np.testing.assert_array_equal(packed[:m, t_len:],
                                       np.broadcast_to(cl_want[:, -1:],
                                                       (m, t_pad - t_len)))
-
-    def test_nonpair_many_channels(self):
-        import jax.numpy as jnp
-        from sdr_channelizer_tpu.ops.pallas.latch_kernel import (
-            pallas_latch_cumsums_cm,
-        )
-
-        m, t_len = 100, 512  # 2m > 128 -> two outputs
-        mag, lead, trail = self._make(t_len, m, seed=3)
-        mag_cm = np.zeros((128, t_len), np.float32)
-        mag_cm[:m] = mag.T
-        cl, ct = pallas_latch_cumsums_cm(
-            jnp.asarray(mag_cm), jnp.asarray(lead), jnp.asarray(trail),
-            m_real=m, t_blk=256)
-        cl_want, ct_want = self._oracle(jnp.asarray(mag), jnp.asarray(lead),
-                                        jnp.asarray(trail))
-        np.testing.assert_array_equal(np.asarray(cl)[:m], cl_want)
-        np.testing.assert_array_equal(np.asarray(ct)[:m], ct_want)

@@ -300,3 +300,54 @@ def test_streaming_counters(capture):
     assert c.get("samples_ingested") == len(capture) // M * M
     assert c.get("blocks_processed") == -(-len(capture) // 10000)
     assert c.get("pulses_emitted") == len(got["toa"]) > 0
+
+
+def test_extract_segment_fused_matches_single_shot(tmp_path, monkeypatch):
+    """The packed fused-kernel streaming path (TPU fast path, interpret
+    mode here): equals the single-shot fused extraction pulse-for-pulse,
+    and checkpoint/resume is bit-identical."""
+    from sdr_channelizer_tpu.io import iqpacket
+    from sdr_channelizer_tpu.models.pipeline import ChannelizerPipeline
+    from sdr_channelizer_tpu.ops import medians
+
+    capture = _capture(n_frames=1536, seed=5)
+    n = len(capture)
+    chunk = n // 2
+    for k in range(2):
+        part = capture[k * chunk:] if k else capture[:chunk]
+        part = part[:chunk]
+        hdr = iqpacket.IqHeader(
+            frequency_hz=5e8, bandwidth_hz=FS, sample_rate_sps=FS,
+            rx_gain_db=0, num_samples=len(part), bit_width=12,
+            sample_start_time=50.0 + k * chunk / FS,
+        )
+        iqpacket.write_iq(tmp_path / f"d{k}.iq", hdr,
+                          iqpacket.from_complex(part, 12))
+    seg = CaptureSet.from_dir(str(tmp_path)).segments[0]
+    raw = seg.read_samples_raw(0, seg.num_samples)
+    assert raw.dtype == np.int16 and raw.shape == (seg.num_samples, 2)
+
+    monkeypatch.setattr(medians, "use_sort_free", lambda: True)
+    chan = Channelizer.create(M)
+    cfg = PdwConfig.channelized(max_pulses=64, max_pulse_samples=256)
+    pipe = ChannelizerPipeline.create(M, pdw_cfg=cfg)
+    ref = pipe.extract_fused(raw, bit_width=12, fs=FS, fc=5e8,
+                             sample_start_time=50.0)
+
+    ext = StreamingExtractor(chan, cfg, block_frames=512,
+                             halo_frames=256)
+    ck = tmp_path / "ck_fused"
+    got = ext.extract_segment_fused(seg, fc=5e8, checkpoint_dir=str(ck))
+    assert len(got["toa"]) == len(ref["toa"]) > 10
+    for key in ("toa", "pw", "mag", "sat", "channel"):
+        np.testing.assert_array_equal(got[key], ref[key])
+    for key in ("freq", "snr"):  # few f32 ulps: per-shape compile variance
+        np.testing.assert_allclose(got[key], ref[key], rtol=1e-6, atol=1e-5)
+
+    # interrupted resume: drop the tail checkpoints, rerun, bit-identical
+    blocks = sorted(ck.glob("block_*.npz"))
+    assert len(blocks) == 3
+    blocks[-1].unlink()
+    resumed = ext.extract_segment_fused(seg, fc=5e8, checkpoint_dir=str(ck))
+    for key in got:
+        np.testing.assert_array_equal(resumed[key], got[key])

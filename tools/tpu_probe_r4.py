@@ -270,6 +270,40 @@ def run_part_d():
             results[f"D_{route}_{label}_ms"] = round(dt * 1e3, 3)
 
 
+def run_part_e():
+    """Full-graph knob A/Bs (the b-prefix graphs elide on this transport —
+    only end-to-end numbers are trustworthy): noise-floor radix bits and
+    latch t_blk, via in-process wrapping of the route's helpers."""
+    import functools as ft
+
+    orig_nf = pdwmod.noise_floor_cm
+    for bits in (1, 4):
+        pdwmod.noise_floor_cm = ft.partial(orig_nf.__wrapped__ if hasattr(
+            orig_nf, "__wrapped__") else orig_nf, bits=bits)
+        try:
+            dt = graph_time(f"E.nf_bits{bits}_dense", full_route("cm2"),
+                            xq_dense)
+            results[f"E_nf_bits{bits}_dense_ms"] = round(dt * 1e3, 3)
+        finally:
+            pdwmod.noise_floor_cm = orig_nf
+
+    import sdr_channelizer_tpu.ops.pallas.latch_kernel as lk
+
+    orig_latch = lk.pallas_latch_cumsums_cm
+    for t_blk in (1024, 4096):
+        def patched(mag_cm, lead, trail, m_real, t_blk=t_blk):
+            return orig_latch(mag_cm, lead, trail, m_real, t_blk=t_blk)
+        # dsp.pdw imports the symbol inside the function body from the
+        # module, so patching the module attribute reaches the route.
+        lk.pallas_latch_cumsums_cm = patched
+        try:
+            dt = graph_time(f"E.latch_tblk{t_blk}_dense", full_route("cm2"),
+                            xq_dense)
+            results[f"E_latch_tblk{t_blk}_dense_ms"] = round(dt * 1e3, 3)
+        finally:
+            lk.pallas_latch_cumsums_cm = orig_latch
+
+
 def main():
     parts = os.environ.get("PROBE_PARTS", "AB")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -288,7 +322,7 @@ def main():
 
     for p in parts:
         {"A": run_part_a, "B": run_part_b, "C": run_part_c,
-         "D": run_part_d}[p]()
+         "D": run_part_d, "E": run_part_e}[p]()
         flush()
     log("wrote PROBE_r04.json")
 
