@@ -16,15 +16,21 @@ The reference's implied operating point is keeping up with a 56 Msps radio
 (BASELINE.md); ``vs_baseline`` is the multiple of that floor the DENSE
 point sustains.
 
-Timing protocol — in-graph repetition: host-side timing is untrustworthy
-over the remote TPU transport in both directions (repeated identical
-dispatches can be elided to ~0 ms; distinct dispatches each pay a ~0.4 s
-round trip), so each measurement is ONE dispatch running K salted
-iterations of the step inside the compiled program via ``lax.fori_loop``.
-Per-step time = (t(K2) - t(K1)) / (K2 - K1): dispatch/fence/fetch overheads
-cancel exactly in the difference, and throughput and latency come from the
-SAME executable.  ``block_until_ready`` is a no-op over the tunnel and
-complex d2h is unsupported, so every boundary fetches a float32 scalar.
+Timing protocol — in-graph repetition with the OUT-OF-FLAT-REGION rule
+(round-4 calibration, KSWEEP_r04.json): the transport has THREE traps.
+(1) Repeated identical (program, args, K) dispatches can be elided to ~0.
+(2) Every distinct dispatch pays a ~0.43 s round trip.  (3) Device
+execution OVERLAPS that round trip: measured wall(K) =
+max(rtt, K*step + ~33 ms), flat until K*step exceeds ~0.43 s — so a
+difference (t(K2) - t(K1)) / (K2 - K1) with K1 inside the flat region
+UNDER-reports the step (this biased every round-2/3 headline low-K
+in-graph number; the K-sweep slope is the truth).  Therefore each
+measurement is ONE dispatch running K salted in-graph iterations
+(``lax.fori_loop``), every dispatch uses a DISTINCT K, and K1 is chosen
+from a pilot so that t(K1) sits well past the flat region; per-step =
+median over reps of (t(K2) - t(K1)) / (K2 - K1).  ``block_until_ready``
+is a no-op over the tunnel and complex d2h is unsupported, so every
+boundary fetches a float32 scalar.
 
 Prints exactly one JSON line to stdout; diagnostics go to stderr.
 """
@@ -79,27 +85,45 @@ def _quantize(cap: np.ndarray) -> np.ndarray:
                    -2048, 2047).astype(np.int16)
 
 
-def _graph_time(run, args_dev, k1: int, k2: int, reps: int = 3):
+def _timed_dispatch(run, args_dev, k):
+    t0 = time.perf_counter()
+    _sync(run(k, *args_dev)[0])
+    return time.perf_counter() - t0
+
+
+def _graph_time(run, args_dev, iters: int = 120, reps: int = 3):
     """Per-step seconds from in-graph repetition; see module docstring.
 
-    ``run(K, *args) -> (acc, count)``.  Returns (dt_best, per-rep estimates,
-    pulse count from the final iteration).
+    ``run(K, *args) -> (acc, count)``.  Returns (dt, per-rep estimates,
+    pulse count).  Protocol (KSWEEP_r04.json calibration):
+
+    * every dispatch uses a DISTINCT K (identical-dispatch elision);
+    * a pilot measures the transport floor t(4) ~ rtt and a far point to
+      estimate the slope, then K1 is picked so K1*step >= 2.5x the floor —
+      OUT of the flat region where execution hides under the round trip
+      (differencing from inside it under-reports, the round-2/3 bias);
+    * the K2-K1 span is stretched until it carries >= ~1.2 s of signal
+      against the ~±90 ms single-dispatch jitter; median over reps.
     """
-    out = run(k1, *args_dev)
+    out = run(3, *args_dev)
     _sync(out[0])
     count = float(np.asarray(out[1]))
-    t1s, t2s, ests = [], [], []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _sync(run(k1, *args_dev)[0])
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _sync(run(k2, *args_dev)[0])
-        t2 = time.perf_counter() - t0
-        t1s.append(t1)
-        t2s.append(t2)
-        ests.append(max(t2 - t1, 1e-9) / (k2 - k1))
-    dt = max(min(t2s) - min(t1s), 1e-9) / (k2 - k1)
+    t_floor = _timed_dispatch(run, args_dev, 4)
+    pilot_k = 4 + iters
+    t_pilot = _timed_dispatch(run, args_dev, pilot_k)
+    s_pilot = max(t_pilot - t_floor, 1e-4) / iters
+    k1 = max(8, int(2.5 * t_floor / s_pilot) + 1)
+    span = max(iters, int(1.2 / s_pilot) + 1)
+    span = min(span, 4000)  # bound the dispatch length for tiny steps
+    ests = []
+    for r in range(reps):
+        t1 = _timed_dispatch(run, args_dev, k1 + r)
+        t2 = _timed_dispatch(run, args_dev, k1 + span + r)
+        ests.append(max(t2 - t1, 1e-9) / span)
+    dt = float(np.median(ests))
+    print(f"bench: protocol floor {t_floor*1e3:.0f} ms, pilot "
+          f"{s_pilot*1e3:.2f} ms/step, K1={k1}, span={span}",
+          file=sys.stderr)
     return dt, ests, count
 
 
@@ -108,10 +132,13 @@ def main() -> None:
     ap.add_argument("--bands", type=int, default=64)
     ap.add_argument("--frames", type=int, default=262144,
                     help="channelizer frames per step (samples = frames*bands)")
-    # 40 iters so the measured work (~0.5 s) clears the tunnel fence's
-    # tens-of-ms jitter: at 20 iters the same program read up to ~2x slow
-    # (24.5 vs 12.7 ms/step, STATS_COST_r02.json fwd_* rows).
-    ap.add_argument("--iters", type=int, default=40)
+    # Enough in-graph iterations that the measured work clears the tunnel
+    # fence's tens-of-ms jitter with margin: the difference t(K2)-t(K1)
+    # carries ~K2-K1 steps of signal against ~±30 ms of per-dispatch fence
+    # noise, so at ~1.5-6 ms/step 120 iters gives a 0.2-0.7 s signal
+    # (at 20 iters the same program read up to ~2x slow,
+    # STATS_COST_r02.json fwd_* rows).
+    ap.add_argument("--iters", type=int, default=120)
     ap.add_argument("--stages", action="store_true",
                     help="also time channelize / noise-floor / pdw separately")
     ap.add_argument("--planes", action="store_true",
@@ -290,13 +317,12 @@ def main() -> None:
                     x, y, z > 0.5, pipe.pdw_cfg, noise_floor=nf)
                   if o is not None)), (mag, ph, sat)),
         ):
-            per, _, _ = _graph_time(_loop1(fn), a, 2, 2 + args.iters, reps=2)
+            per, _, _ = _graph_time(_loop1(fn), a, iters=args.iters, reps=2)
             print(f"bench: {name:<14s} {n/per/1e6:10.1f} Msps  "
                   f"({per*1e3:.2f} ms)", file=sys.stderr)
 
-    k1, k2 = 5, 5 + args.iters
     t_compile0 = time.perf_counter()
-    dt, ests, n_dense = _graph_time(run, dense_in, k1, k2)
+    dt, ests, n_dense = _graph_time(run, dense_in, iters=args.iters)
     print(f"bench: dense total incl. compile+warmup "
           f"{time.perf_counter()-t_compile0:.1f}s", file=sys.stderr)
     # Latency p50 (BASELINE.md second north-star metric): per-step device
@@ -305,7 +331,7 @@ def main() -> None:
     lat_p50 = float(np.median(ests))
 
     # Sparse operating point: same compiled program, different payload.
-    dt_sparse, _, n_sparse = _graph_time(run, sparse_in, k1, k2)
+    dt_sparse, _, n_sparse = _graph_time(run, sparse_in, iters=args.iters)
 
     msps = n / dt / 1e6
     msps_sparse = n / dt_sparse / 1e6

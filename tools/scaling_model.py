@@ -143,18 +143,14 @@ def main():
     # Measured single-chip step (ms): prefer PROBE_r04's cm2 dense number,
     # fall back to BENCH_r03.
     t1_ms, t1_src = None, None
-    for src, key in (("PROBE_r04.json", ("results", "A_cm2_dense_ms")),
-                     ("BENCH_r03.json", ("parsed",))):
-        path = os.path.join(repo, src)
-        if os.path.exists(path):
-            d = json.load(open(path))
-            if src.startswith("PROBE") and key[1] in d.get("results", {}):
-                t1_ms, t1_src = d["results"][key[1]], f"{src}:{key[1]}"
-                break
-            if src.startswith("BENCH"):
-                v = d["parsed"]["value"]  # Msps
-                t1_ms = 64 * 262144 / (v * 1e6) * 1e3
-                t1_src = f"{src} (derived from {v} Msps)"
+    probe = os.path.join(repo, "PROBE_r04.json")
+    if os.path.exists(probe):
+        res = json.load(open(probe)).get("results", {})
+        # F_* = corrected out-of-flat-region protocol (KSWEEP_r04.json);
+        # A_* under-reports (K1 inside the transport flat region).
+        for key in ("F_cm2_dense_ms", "A_cm2_dense_ms"):
+            if key in res:
+                t1_ms, t1_src = res[key], f"PROBE_r04.json:{key}"
                 break
     assert t1_ms is not None
 

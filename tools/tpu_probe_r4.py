@@ -69,26 +69,37 @@ def make_looped(fn, n_salt=1):
     return run
 
 
-def graph_time(name, fn, *args, n_salt=1, k1=None, k2=None, reps=None):
-    k1 = K1 if k1 is None else k1
-    k2 = K2 if k2 is None else k2
+def graph_time(name, fn, *args, n_salt=1, iters=None, reps=None):
+    """Round-4 corrected protocol (KSWEEP_r04.json): distinct K per
+    dispatch; pilot-calibrated K1 past the flat region where device
+    execution hides under the ~0.43 s transport round trip (differencing
+    from inside it under-reports — the round-2/3 bias); median of
+    per-rep differences over a >=1.2 s signal span."""
+    iters = (K2 - K1) if iters is None else iters
     reps = REPS if reps is None else reps
     run = make_looped(fn, n_salt=n_salt)
+
+    def dispatch(k):
+        t0 = time.perf_counter()
+        fetch_scalar(run(k, *args))
+        return time.perf_counter() - t0
+
     t0 = time.perf_counter()
-    fetch_scalar(run(k1, *args))
+    fetch_scalar(run(3, *args))
     compile_s = time.perf_counter() - t0
-    t1s, t2s = [], []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        fetch_scalar(run(k1, *args))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        fetch_scalar(run(k2, *args))
-        t2s.append(time.perf_counter() - t0)
-    dt = max((min(t2s) - min(t1s)) / (k2 - k1), 0.0)
-    spread = (max(t2s) - min(t2s)) / max(min(t2s) - min(t1s), 1e-9)
+    t_floor = dispatch(4)
+    s_pilot = max(dispatch(4 + iters) - t_floor, 1e-4) / iters
+    k1 = max(8, int(2.5 * t_floor / s_pilot) + 1)
+    span = min(max(iters, int(1.2 / s_pilot) + 1), 4000)
+    ests = []
+    for r in range(reps):
+        t1 = dispatch(k1 + r)
+        t2 = dispatch(k1 + span + r)
+        ests.append(max(t2 - t1, 1e-9) / span)
+    dt = float(np.median(ests))
+    spread = (max(ests) - min(ests)) / max(dt, 1e-9)
     log(f"{name:<30s} {dt*1e3:9.3f} ms/iter   (compile {compile_s:.0f}s, "
-        f"rep spread {spread*100:.0f}%)")
+        f"K1={k1}, span={span}, rep spread {spread*100:.0f}%)")
     return dt
 
 
@@ -304,6 +315,16 @@ def run_part_e():
             lk.pallas_latch_cumsums_cm = orig_latch
 
 
+def run_part_f():
+    """CORRECTED-protocol re-measure of the headline A/B (the A-part ran
+    with K1=5 inside the transport flat region and under-reports;
+    KSWEEP_r04.json).  These are the honest absolute numbers."""
+    for route in ("cm2", "cm"):
+        for label, q in (("dense", xq_dense), ("sparse", xq_sparse)):
+            dt = graph_time(f"F.{route}_{label}", full_route(route), q)
+            results[f"F_{route}_{label}_ms"] = round(dt * 1e3, 3)
+
+
 def main():
     parts = os.environ.get("PROBE_PARTS", "AB")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -322,7 +343,7 @@ def main():
 
     for p in parts:
         {"A": run_part_a, "B": run_part_b, "C": run_part_c,
-         "D": run_part_d, "E": run_part_e}[p]()
+         "D": run_part_d, "E": run_part_e, "F": run_part_f}[p]()
         flush()
     log("wrote PROBE_r04.json")
 

@@ -39,8 +39,11 @@ def fetch_scalar(x):
         lambda v: jnp.ravel(v)[:1].astype(jnp.float32))(leaf))[0])
 
 
-def graph_time(name, fn, *args, k1=3, k2=23, reps=2):
-    """In-graph per-iteration seconds (bench.py protocol, trimmed)."""
+def graph_time(name, fn, *args, iters=60, reps=2):
+    """In-graph per-iteration seconds — bench.py's round-4 protocol:
+    distinct K per dispatch (elision), pilot-calibrated K1 past the
+    flat region where execution hides under the ~0.43 s transport round
+    trip (KSWEEP_r04.json), median of per-rep differences."""
     @jax.jit
     def run(K, *a):
         def body(i, acc):
@@ -51,19 +54,26 @@ def graph_time(name, fn, *args, k1=3, k2=23, reps=2):
 
         return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 
+    def dispatch(k):
+        t0 = time.perf_counter()
+        fetch_scalar(run(k, *args))
+        return time.perf_counter() - t0
+
     t0 = time.perf_counter()
-    fetch_scalar(run(k1, *args))
+    fetch_scalar(run(3, *args))
     compile_s = time.perf_counter() - t0
-    t1s, t2s = [], []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        fetch_scalar(run(k1, *args))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        fetch_scalar(run(k2, *args))
-        t2s.append(time.perf_counter() - t0)
-    dt = max((min(t2s) - min(t1s)) / (k2 - k1), 1e-9)
-    log(f"{name:<26s} {dt*1e3:9.3f} ms/iter (compile {compile_s:.0f}s)")
+    t_floor = dispatch(4)
+    s_pilot = max(dispatch(4 + iters) - t_floor, 1e-4) / iters
+    k1 = max(8, int(2.5 * t_floor / s_pilot) + 1)
+    span = min(max(iters, int(1.2 / s_pilot) + 1), 4000)
+    ests = []
+    for r in range(reps):
+        t1 = dispatch(k1 + r)
+        t2 = dispatch(k1 + span + r)
+        ests.append(max(t2 - t1, 1e-9) / span)
+    dt = float(np.median(ests))
+    log(f"{name:<26s} {dt*1e3:9.3f} ms/iter (compile {compile_s:.0f}s, "
+        f"floor {t_floor*1e3:.0f} ms, K1={k1}, span={span})")
     return dt
 
 
