@@ -114,7 +114,11 @@ def _graph_time(run, args_dev, iters: int = 120, reps: int = 3):
     s_pilot = max(t_pilot - t_floor, 1e-4) / iters
     k1 = max(8, int(2.5 * t_floor / s_pilot) + 1)
     span = max(iters, int(1.2 / s_pilot) + 1)
-    span = min(span, 4000)  # bound the dispatch length for tiny steps
+    # Bound every dispatch to ~8 s of device time: a ~20 s dispatch
+    # crashed the TPU worker (kernel-fault watchdog) during round-4 probing.
+    budget = max(int(8.0 / s_pilot), 8)
+    k1 = min(k1, budget)
+    span = min(span, budget, 4000)
     ests = []
     for r in range(reps):
         t1 = _timed_dispatch(run, args_dev, k1 + r)

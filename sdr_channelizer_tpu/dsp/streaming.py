@@ -173,7 +173,15 @@ class CaptureSet:
                 expected_end = prev.sample_start_time + prev.num_samples / prev.sample_rate_sps
                 gap = abs(t0 - expected_end) * hdr.sample_rate_sps
                 same_rate = hdr.sample_rate_sps == prev.sample_rate_sps
-                if same_rate and gap <= tol_samples:
+                # At absolute UTC epochs (~1.7e9 s) one float64 ulp is
+                # ~2.4e-7 s — 13 samples at 56 Msps — so a sub-sample
+                # tolerance would split genuinely contiguous dwells on
+                # representation error alone.  Guard by a few ulps of the
+                # timestamps themselves.
+                ulp_guard = 4.0 * np.spacing(max(abs(t0), abs(expected_end),
+                                                 1.0))
+                tol = max(tol_samples, ulp_guard * hdr.sample_rate_sps)
+                if same_rate and gap <= tol:
                     segs[-1].paths.append(path)
                     segs[-1].headers.append(hdr)
                     continue

@@ -351,3 +351,32 @@ def test_extract_segment_fused_matches_single_shot(tmp_path, monkeypatch):
     resumed = ext.extract_segment_fused(seg, fc=5e8, checkpoint_dir=str(ck))
     for key in got:
         np.testing.assert_array_equal(resumed[key], got[key])
+
+
+def test_capture_set_contiguous_at_utc_epoch(tmp_path):
+    """Absolute UTC epoch start times (~1.7e9 s): one f64 ulp is ~13
+    samples at 56 Msps, so the contiguity check must tolerate timestamp
+    representation error or it splits genuinely contiguous dwells."""
+    from sdr_channelizer_tpu.io import iqpacket
+
+    fs = 56e6
+    chunk = 1000000
+    for k in range(3):
+        hdr = iqpacket.IqHeader(
+            frequency_hz=0, bandwidth_hz=fs, sample_rate_sps=fs,
+            rx_gain_db=0, num_samples=chunk, bit_width=12,
+            sample_start_time=1723800000.0 + k * chunk / fs,
+        )
+        iqpacket.write_iq(tmp_path / f"d{k}.iq", hdr,
+                          np.zeros((chunk, 2), np.int16))
+    cs = CaptureSet.from_dir(str(tmp_path))
+    assert len(cs.segments) == 1
+    # a genuine multi-sample gap still splits
+    hdr = iqpacket.IqHeader(
+        frequency_hz=0, bandwidth_hz=fs, sample_rate_sps=fs,
+        rx_gain_db=0, num_samples=chunk, bit_width=12,
+        sample_start_time=1723800000.0 + (3 * chunk + 500) / fs,
+    )
+    iqpacket.write_iq(tmp_path / "d3.iq", hdr,
+                      np.zeros((chunk, 2), np.int16))
+    assert len(CaptureSet.from_dir(str(tmp_path)).segments) == 2

@@ -91,6 +91,10 @@ def graph_time(name, fn, *args, n_salt=1, iters=None, reps=None):
     s_pilot = max(dispatch(4 + iters) - t_floor, 1e-4) / iters
     k1 = max(8, int(2.5 * t_floor / s_pilot) + 1)
     span = min(max(iters, int(1.2 / s_pilot) + 1), 4000)
+    # Bound every dispatch to ~8 s of device time (longer crashed the worker).
+    budget = max(int(8.0 / s_pilot), 8)
+    k1 = min(k1, budget)
+    span = min(span, budget)
     ests = []
     for r in range(reps):
         t1 = dispatch(k1 + r)
