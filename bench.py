@@ -109,16 +109,21 @@ def _graph_time(run, args_dev, iters: int = 120, reps: int = 3):
     _sync(out[0])
     count = float(np.asarray(out[1]))
     t_floor = _timed_dispatch(run, args_dev, 4)
-    pilot_k = 4 + iters
-    t_pilot = _timed_dispatch(run, args_dev, pilot_k)
-    s_pilot = max(t_pilot - t_floor, 1e-4) / iters
-    k1 = max(8, int(2.5 * t_floor / s_pilot) + 1)
-    span = max(iters, int(1.2 / s_pilot) + 1)
+    # Geometric pilot: keep doubling K until the dispatch clearly exits the
+    # flat region (a fixed-K pilot under-runs it for fast graphs, yielding
+    # junk slopes and unbounded K1 — the crash mode).  s_est = t/K slightly
+    # overestimates the step, which keeps K1 and the budget conservative.
+    pk = max(8, iters // 4)
+    t_pilot = _timed_dispatch(run, args_dev, pk)
+    while t_pilot < 1.6 * t_floor and pk < 4000:
+        pk *= 2
+        t_pilot = _timed_dispatch(run, args_dev, pk)
+    s_pilot = t_pilot / pk
     # Bound every dispatch to ~8 s of device time: a ~20 s dispatch
     # crashed the TPU worker (kernel-fault watchdog) during round-4 probing.
     budget = max(int(8.0 / s_pilot), 8)
-    k1 = min(k1, budget)
-    span = min(span, budget, 4000)
+    k1 = min(max(8, int(2.5 * t_floor / s_pilot) + 1), budget)
+    span = min(max(iters, int(1.2 / s_pilot) + 1), budget, 4000)
     ests = []
     for r in range(reps):
         t1 = _timed_dispatch(run, args_dev, k1 + r)

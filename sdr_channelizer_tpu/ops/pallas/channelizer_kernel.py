@@ -44,6 +44,14 @@ _TDOT = functools.partial(
     precision=jax.lax.Precision.HIGHEST,
 )
 
+# Precision of the four DFT matmuls in the streams kernels.  HIGHEST =
+# 6-pass bf16 (bit-parity with the jnp DFT oracle on real TPUs); HIGH =
+# 3-pass (~1e-6 relative, well inside the reference's SNR contract) —
+# roughly halves the kernel's MXU time.  The identity-transpose flips are
+# NOT governed by this (they must stay HIGHEST to remain exact).
+# Interpret mode (CPU tests) executes f32 exactly under either setting.
+DFT_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def _win_rows(t_blk: int, p: int, tile: int = 16) -> int:
     """DMA window rows, rounded up to the sublane tiling (16 covers both
@@ -360,10 +368,10 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
 
     wr = wr_ref[...]
     wi = wi_ref[...]
-    yr = (jnp.dot(ur, wr, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-          - jnp.dot(ui, wi, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST))
-    yi = (jnp.dot(ur, wi, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-          + jnp.dot(ui, wr, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST))
+    yr = (jnp.dot(ur, wr, preferred_element_type=jnp.float32, precision=DFT_PRECISION)
+          - jnp.dot(ui, wi, preferred_element_type=jnp.float32, precision=DFT_PRECISION))
+    yi = (jnp.dot(ur, wi, preferred_element_type=jnp.float32, precision=DFT_PRECISION)
+          + jnp.dot(ui, wr, preferred_element_type=jnp.float32, precision=DFT_PRECISION))
     mag = jnp.sqrt(yr * yr + yi * yi)
     ph = _atan2(yi, yr) * jnp.float32(180.0 / np.pi)
     sat = jnp.where(

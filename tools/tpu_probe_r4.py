@@ -88,13 +88,20 @@ def graph_time(name, fn, *args, n_salt=1, iters=None, reps=None):
     fetch_scalar(run(3, *args))
     compile_s = time.perf_counter() - t0
     t_floor = dispatch(4)
-    s_pilot = max(dispatch(4 + iters) - t_floor, 1e-4) / iters
-    k1 = max(8, int(2.5 * t_floor / s_pilot) + 1)
-    span = min(max(iters, int(1.2 / s_pilot) + 1), 4000)
+    # Geometric pilot: double K until the dispatch clearly exits the flat
+    # region (a fixed-K pilot under-runs it for fast graphs -> junk slope
+    # -> unbounded K1, the worker-crash mode).  s_est = t/K slightly
+    # overestimates the step, keeping K1 and the budget conservative.
+    pk = max(8, iters // 4)
+    t_pilot = dispatch(pk)
+    while t_pilot < 1.6 * t_floor and pk < 4000:
+        pk *= 2
+        t_pilot = dispatch(pk)
+    s_pilot = t_pilot / pk
     # Bound every dispatch to ~8 s of device time (longer crashed the worker).
     budget = max(int(8.0 / s_pilot), 8)
-    k1 = min(k1, budget)
-    span = min(span, budget)
+    k1 = min(max(8, int(2.5 * t_floor / s_pilot) + 1), budget)
+    span = min(max(iters, int(1.2 / s_pilot) + 1), budget, 4000)
     ests = []
     for r in range(reps):
         t1 = dispatch(k1 + r)
@@ -329,6 +336,38 @@ def run_part_f():
             results[f"F_{route}_{label}_ms"] = round(dt * 1e3, 3)
 
 
+def run_part_g():
+    """Corrected-protocol A/Bs on the two biggest corrected-B stages:
+    3-pass DFT matmul precision in the streams kernel (vs 6-pass HIGHEST)
+    and stats-kernel TILE=128 (vs 256 — halves per-live-tile DMA for the
+    mostly-dead tiles of the no-compaction grid).  Module knobs + jit
+    cache clears (the inner jits key on shapes, which do not change)."""
+    import sdr_channelizer_tpu.ops.pallas.channelizer_kernel as ck
+    import sdr_channelizer_tpu.ops.pallas.pulse_stats_kernel as pk
+
+    def clear():
+        ck._pallas_fir_dft_streams_cm2.clear_cache()
+        pk.pulse_stats.clear_cache()
+        pk.pulse_stats_dense.clear_cache()
+
+    orig_prec, orig_tile = ck.DFT_PRECISION, pk.TILE
+    variants = [
+        ("dfthigh", jax.lax.Precision.HIGH, 256),
+        ("tile128", orig_prec, 128),
+        ("both", jax.lax.Precision.HIGH, 128),
+    ]
+    for name, prec, tile in variants:
+        ck.DFT_PRECISION, pk.TILE = prec, tile
+        clear()
+        try:
+            for label, q in (("dense", xq_dense), ("sparse", xq_sparse)):
+                dt = graph_time(f"G.{name}_{label}", full_route("cm2"), q)
+                results[f"G_{name}_{label}_ms"] = round(dt * 1e3, 3)
+        finally:
+            ck.DFT_PRECISION, pk.TILE = orig_prec, orig_tile
+            clear()
+
+
 def main():
     parts = os.environ.get("PROBE_PARTS", "AB")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -347,7 +386,8 @@ def main():
 
     for p in parts:
         {"A": run_part_a, "B": run_part_b, "C": run_part_c,
-         "D": run_part_d, "E": run_part_e, "F": run_part_f}[p]()
+         "D": run_part_d, "E": run_part_e, "F": run_part_f,
+         "G": run_part_g}[p]()
         flush()
     log("wrote PROBE_r04.json")
 

@@ -63,13 +63,20 @@ def graph_time(name, fn, *args, iters=60, reps=2):
     fetch_scalar(run(3, *args))
     compile_s = time.perf_counter() - t0
     t_floor = dispatch(4)
-    s_pilot = max(dispatch(4 + iters) - t_floor, 1e-4) / iters
-    k1 = max(8, int(2.5 * t_floor / s_pilot) + 1)
-    span = min(max(iters, int(1.2 / s_pilot) + 1), 4000)
+    # Geometric pilot: double K until the dispatch clearly exits the flat
+    # region (a fixed-K pilot under-runs it for fast graphs -> junk slope
+    # -> unbounded K1, the worker-crash mode).  s_est = t/K slightly
+    # overestimates the step, keeping K1 and the budget conservative.
+    pk = max(8, iters // 4)
+    t_pilot = dispatch(pk)
+    while t_pilot < 1.6 * t_floor and pk < 4000:
+        pk *= 2
+        t_pilot = dispatch(pk)
+    s_pilot = t_pilot / pk
     # Bound every dispatch to ~8 s of device time (longer crashed the worker).
     budget = max(int(8.0 / s_pilot), 8)
-    k1 = min(k1, budget)
-    span = min(span, budget)
+    k1 = min(max(8, int(2.5 * t_floor / s_pilot) + 1), budget)
+    span = min(max(iters, int(1.2 / s_pilot) + 1), budget, 4000)
     ests = []
     for r in range(reps):
         t1 = dispatch(k1 + r)
