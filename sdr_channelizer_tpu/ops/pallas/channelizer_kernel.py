@@ -45,12 +45,27 @@ _TDOT = functools.partial(
 )
 
 # Precision of the four DFT matmuls in the streams kernels.  HIGHEST =
-# 6-pass bf16 (bit-parity with the jnp DFT oracle on real TPUs); HIGH =
-# 3-pass (~1e-6 relative, well inside the reference's SNR contract) —
-# roughly halves the kernel's MXU time.  The identity-transpose flips are
-# NOT governed by this (they must stay HIGHEST to remain exact).
-# Interpret mode (CPU tests) executes f32 exactly under either setting.
+# 6-pass bf16 (bit-parity with the jnp DFT oracle on real TPUs);
+# "bf16x3" = a hand-rolled 3-limb product (a_hi@b_hi + a_lo@b_hi +
+# a_hi@b_lo over bf16 limbs, ~1e-6 relative — well inside the reference's
+# SNR contract; Mosaic does not lower Precision.HIGH) that roughly halves
+# the kernel's MXU time.  The identity-transpose flips are NOT governed
+# by this (they must stay HIGHEST to remain exact).  Interpret mode (CPU
+# tests) executes HIGHEST as exact f32.
 DFT_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _dot_dft(a, b):
+    """One DFT matmul at the configured precision (see DFT_PRECISION)."""
+    if DFT_PRECISION == "bf16x3":
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        return d(a_hi, b_hi) + d(a_lo, b_hi) + d(a_hi, b_lo)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=DFT_PRECISION)
 
 
 def _win_rows(t_blk: int, p: int, tile: int = 16) -> int:
@@ -368,10 +383,8 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
 
     wr = wr_ref[...]
     wi = wi_ref[...]
-    yr = (jnp.dot(ur, wr, preferred_element_type=jnp.float32, precision=DFT_PRECISION)
-          - jnp.dot(ui, wi, preferred_element_type=jnp.float32, precision=DFT_PRECISION))
-    yi = (jnp.dot(ur, wi, preferred_element_type=jnp.float32, precision=DFT_PRECISION)
-          + jnp.dot(ui, wr, preferred_element_type=jnp.float32, precision=DFT_PRECISION))
+    yr = _dot_dft(ur, wr) - _dot_dft(ui, wi)
+    yi = _dot_dft(ur, wi) + _dot_dft(ui, wr)
     mag = jnp.sqrt(yr * yr + yi * yi)
     ph = _atan2(yi, yr) * jnp.float32(180.0 / np.pi)
     sat = jnp.where(

@@ -58,11 +58,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-# Pulses per tile-loop step.  256 halves the number of serial radix
-# descents for dense captures (each descent's latency-bound roll/count
-# chain amortizes over twice the slots); flat slot lists shorter than a
-# tile are padded by the wrappers.
-TILE = 256
+# Pulses per tile-loop step.  128 (round 4): under the no-compaction
+# per-channel slot grids most slots in a live tile are dead sentinels, and
+# the smaller tile halves the ungated window DMAs per live tile — measured
+# -0.18 ms dense / -0.15 ms sparse end-to-end vs 256 on v5e
+# (PROBE_r04.json G part; 256 had been chosen in round 2 for compacted
+# dense lists where live slots filled whole tiles).  Flat slot lists
+# shorter than a tile are padded by the wrappers.
+TILE = 128
 
 _DOT = functools.partial(
     jnp.dot, preferred_element_type=jnp.float32,

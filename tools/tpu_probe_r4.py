@@ -352,9 +352,9 @@ def run_part_g():
 
     orig_prec, orig_tile = ck.DFT_PRECISION, pk.TILE
     variants = [
-        ("dfthigh", jax.lax.Precision.HIGH, 256),
         ("tile128", orig_prec, 128),
-        ("both", jax.lax.Precision.HIGH, 128),
+        ("dft3", "bf16x3", 256),
+        ("both", "bf16x3", 128),
     ]
     for name, prec, tile in variants:
         ck.DFT_PRECISION, pk.TILE = prec, tile
