@@ -165,9 +165,11 @@ def main():
         if hasattr(tracker.counters, "snapshot") else None,
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "TRACKER_r04.json"), "w") as f:
+    name = ("TRACKER_r04.json" if abs(fs - 56e6) < 1
+            else f"TRACKER_r04_{int(round(fs / 1e6))}M.json")
+    with open(os.path.join(repo, name), "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
-    log("wrote TRACKER_r04.json")
+    log(f"wrote {name}")
     log(json.dumps(payload, indent=1, sort_keys=True))
 
 
