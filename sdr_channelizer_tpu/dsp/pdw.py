@@ -881,7 +881,12 @@ def _extract_channelized_cm2(
     safe_toa = jnp.minimum(toa_idx, t_len - 1)
     safe_te = jnp.minimum(te_idx, t_len - 1)
 
-    # Tiny tier: closed-form picks (no kernel slots), as in v1.
+    # Tiny tier: closed-form picks (no kernel slots), as in v1.  A
+    # plen<=4 extension (exact median-of-3/4 min/max networks, removing
+    # the 3-4-sample leakage transients from the short kernel) was
+    # measured SLOWER end-to-end on v5e — dense +0.34 ms, sparse
+    # +2.7 ms: its 7 gather passes cost more than the live-tile savings
+    # (round-3 lesson again: composition beats micro-reasoning).
     mag_a = jnp.take_along_axis(mag_cm[:m], safe_toa, axis=1)
     mag_b = jnp.take_along_axis(mag_cm[:m], safe_te, axis=1)
     tiny_mag = jnp.where(plen >= 2, 0.5 * (mag_a + mag_b), mag_a)

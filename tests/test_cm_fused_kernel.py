@@ -238,3 +238,39 @@ def test_forward_packed_cm2_nonpair_bands(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(getattr(b1, name)), np.asarray(getattr(b2, name)),
             err_msg=name)
+
+
+def test_forward_packed_cm2_tiny4_boundary(monkeypatch):
+    """Pulses of exactly 1/2/3/4/5 decimated samples: the extended
+    closed-form tiny tier (plen <= 4) must stay bit-identical to the
+    round-3 route (which computes them in the stats kernel)."""
+    from sdr_channelizer_tpu.models.pipeline import ChannelizerPipeline
+
+    rng = np.random.default_rng(13)
+    n_frames = 2048
+    n = n_frames * M
+    fs = 8e6
+    iq = (1e-3 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+          ).astype(np.complex64)
+    t = np.arange(n)
+    tone = (0.9 * np.exp(2j * np.pi * 1.02e6 / fs * t)).astype(np.complex64)
+    # widths in raw samples ~ k decimated frames (M=8 samples per frame)
+    for j, w in enumerate((8, 16, 24, 32, 40, 8, 24, 32)):
+        s = 600 + j * 1200
+        iq[s:s + w] = tone[s:s + w]
+    samples = np.ascontiguousarray(iqpacket.from_complex(iq, 12))
+    cfg = PdwConfig.channelized(max_pulses=32, max_pulse_samples=512)
+    pipe = ChannelizerPipeline.create(M, pdw_cfg=cfg)
+    xq = jnp.asarray(samples.view(np.int32).ravel())
+
+    monkeypatch.setattr(medians, "use_sort_free", lambda: True)
+    _, _, b1 = pipe.forward_packed(xq, bit_width=12, route="cm")
+    _, _, b2 = pipe.forward_packed(xq, bit_width=12, route="cm2")
+    plens = np.asarray(b1.te_idx) - np.asarray(b1.toa_idx) + 1
+    got_lens = set(plens[np.asarray(b1.valid)].tolist())
+    assert got_lens & {1, 2, 3, 4}, got_lens  # tiny tier actually exercised
+    for name in ("toa_idx", "te_idx", "mag", "snr_db", "freq_offset_hz",
+                 "saturated", "valid", "count"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(b1, name)), np.asarray(getattr(b2, name)),
+            err_msg=name)
