@@ -263,8 +263,24 @@ def cmd_pdw(args) -> int:
                                      counters=counters)
             ck = (os.path.join(args.checkpoint_dir, f"seg{si:03d}")
                   if args.checkpoint_dir else None)
-            pdws = ext.extract_segment(seg, fc=hdr.frequency_hz,
-                                       checkpoint_dir=ck)
+            # On sort-free (TPU) backends, channelized segments route
+            # through the packed fused-kernel block path: raw payload
+            # bytes to the device, per-block Pallas kernels, no complex
+            # arithmetic (some TPU transports cannot lower it).
+            from sdr_channelizer_tpu.dsp import pdw as _pdwmod
+            from sdr_channelizer_tpu.ops import medians as _medians
+
+            use_fused = (
+                chan is not None and _medians.use_sort_free()
+                and _pdwmod._pallas_stats_ok(
+                    args.block_frames + cfg.max_pulse_samples, cfg)
+            )
+            if use_fused:
+                pdws = ext.extract_segment_fused(seg, fc=hdr.frequency_hz,
+                                                 checkpoint_dir=ck)
+            else:
+                pdws = ext.extract_segment(seg, fc=hdr.frequency_hz,
+                                           checkpoint_dir=ck)
             all_pdws.append(pdws)
             print(f"segment {si} ({len(seg.paths)} files, "
                   f"{seg.num_samples} samples): {len(pdws['toa'])} pulses")
