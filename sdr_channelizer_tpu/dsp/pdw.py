@@ -813,6 +813,9 @@ def _extract_channelized_cm2(
     m: int,
     tier_mode: str = "grid",
     gate_slots: bool = False,
+    entry_active: Optional[jax.Array] = None,
+    own_len: Optional[int] = None,
+    mag_latch_cm: Optional[jax.Array] = None,
 ) -> PdwBatch:
     """v2 channel-major extraction — the round-4 headline tail.
 
@@ -835,6 +838,13 @@ def _extract_channelized_cm2(
     * saturation comes from the cumsum: two ``take_along_axis`` gathers
       per slot (interior count ``S[te-1] - S[toa]``) instead of a third
       whole-window DMA per kernel slot.
+
+    ``entry_active``/``own_len`` give this path the same time-block
+    contract as :func:`extract_pdws_block_core` (sharded/streamed use):
+    the streams cover ``own_len`` owned samples plus a right halo, the
+    latch enters in ``entry_active`` (per channel), and only pulses whose
+    leading edge is owned are emitted — trailing edges and statistics may
+    extend into the halo.  Defaults reproduce whole-capture behavior.
     """
     from sdr_channelizer_tpu.ops.pallas.latch_kernel import (
         pallas_latch_cumsums_cm,
@@ -857,15 +867,30 @@ def _extract_channelized_cm2(
     else:
         trail_thresh = noise_floor * 10.0 ** (cfg.trailing_threshold_db / 10.0)
 
-    packed = pallas_latch_cumsums_cm(mag_cm, lead_thresh, trail_thresh, m)
+    own = t_len if own_len is None else own_len
+    # ``mag_latch_cm``: optional latch-only magnitude (the sharded last
+    # shard writes +inf over its halo columns there so a pulse open at
+    # capture end never closes — the stats/tiny reads keep the plain
+    # stream, whose halo values are only ever mask-gathered).
+    packed = pallas_latch_cumsums_cm(
+        mag_cm if mag_latch_cm is None else mag_latch_cm,
+        lead_thresh, trail_thresh, m, entry_active=entry_active)
     # (2R, T): rows [0, R) lead cumsums, [R, 2R) trail — one search.
+    # When the block enters active, the first trailing edge closes the
+    # previous block's pulse — skip it (latch events alternate).
     ranks = jnp.broadcast_to(
         jnp.arange(1, p_slots + 1, dtype=jnp.float32)[None, :],
         (2 * r, p_slots))
+    if entry_active is not None:
+        skip = jnp.zeros((2 * r,), jnp.float32).at[r:r + m].set(
+            entry_active.astype(jnp.float32))
+        ranks = ranks + skip[:, None]
     idx = find_ranks_cm(packed, ranks, t_len)
     toa_idx = idx[:m]
     te_idx = idx[r:r + m]
-    n_own = packed[:m, t_len - 1].astype(jnp.int32)
+    # Leads within the owned region (ranks past n_own point into the halo;
+    # their stats are garbage masked by `matched`).
+    n_own = packed[:m, own - 1].astype(jnp.int32)
     # Pin the rank-search outputs: the tail's many consumers share ONE
     # materialized copy instead of re-running the cumsum reads
     # (TAIL_BISECT_r03.json v_bar, -0.6 ms/step).

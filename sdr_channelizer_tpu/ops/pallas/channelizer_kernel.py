@@ -629,14 +629,20 @@ def pallas_channelize_streams_packed_cm2(
     shift: bool = True,
     block_frames: int = 1024,
     interpret: bool = False,
+    history: Optional[jax.Array] = None,
+    w_parts: Optional[Tuple[jax.Array, jax.Array]] = None,
 ):
     """Packed ingest -> v2 channel-major detection streams.
 
-    Returns ``(mag_cm, dph_cm, satcs_cm)``: the three ``(128k, T_pad)``
-    channel-major streams with saturation as an inclusive time cumsum and
-    NO time-major magnitude (the v2 PDW route's whole front end —
-    ``dsp/pdw.py:_extract_channelized_cm2``).  ``xq`` packs one (I, Q)
-    pair per element as in :func:`pallas_channelize_streams_packed`."""
+    Returns ``(mag_cm, dph_cm, satcs_cm)``: the three slim ``(m_out,
+    T_pad)`` channel-major streams with saturation as an inclusive time
+    cumsum and NO time-major magnitude (the v2 PDW route's whole front
+    end — ``dsp/pdw.py:_extract_channelized_cm2``).  ``xq`` packs one
+    (I, Q) pair per element as in
+    :func:`pallas_channelize_streams_packed`; ``history`` is the previous
+    block/shard's (P-1, M) packed FIR tail; ``w_parts`` a (possibly
+    traced) column slice of the shift-folded DFT matrix for band-sharded
+    emission (each band bit-identical to the full-matrix kernel)."""
     p, m = taps_rev.shape
     n_frames = xq.shape[-1] // m
     scale = float(2.0 ** -(bit_width - 1))
@@ -646,16 +652,25 @@ def pallas_channelize_streams_packed_cm2(
     fr = xq[..., : n_frames * m].reshape(n_frames, m)
     n_pad = (-n_frames) % block_frames
     tail = n_pad + (_win_rows(block_frames + 8, p) - (block_frames + p - 1))
-    fr = jnp.pad(fr, ((p - 1, tail), (0, m_pad - m)))
+    if history is not None:
+        fr = jnp.concatenate([history.reshape(p - 1, m).astype(fr.dtype), fr])
+        fr = jnp.pad(fr, ((0, tail), (0, m_pad - m)))
+    else:
+        fr = jnp.pad(fr, ((p - 1, tail), (0, m_pad - m)))
 
-    from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
+    if w_parts is not None:
+        n_bands = w_parts[0].shape[1]
+        taps_p, wr_p, wi_p = _pad_weight_slice(taps_rev, *w_parts, m_pad)
+    else:
+        from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
 
-    w = dft_matrix(m, shifted=shift)
-    taps_p, wr_p, wi_p = _pad_weights(taps_rev, w, m_pad)
+        n_bands = m
+        w = dft_matrix(m, shifted=shift)
+        taps_p, wr_p, wi_p = _pad_weights(taps_rev, w, m_pad)
     return _pallas_fir_dft_streams_cm2(
         fr, fr, taps_p, wr_p, wi_p,
         block_frames=block_frames, scale=scale, sat_level=float(sat_level),
-        t_len=n_frames, m_out=((m + 7) // 8) * 8, interpret=interpret,
+        t_len=n_frames, m_out=((n_bands + 7) // 8) * 8, interpret=interpret,
         packed=True,
     )
 
@@ -669,29 +684,41 @@ def pallas_channelize_streams_cm2(
     shift: bool = True,
     block_frames: int = 1024,
     interpret: bool = False,
+    history: Optional[Tuple[jax.Array, jax.Array]] = None,
+    w_parts: Optional[Tuple[jax.Array, jax.Array]] = None,
 ):
     """Planes-ingest variant of
-    :func:`pallas_channelize_streams_packed_cm2`."""
+    :func:`pallas_channelize_streams_packed_cm2` (``history`` is the
+    previous shard's ``(hist_r, hist_i)`` (P-1, M) frame pair)."""
     p, m = taps_rev.shape
     n_frames = xr.shape[-1] // m
     scale = float(2.0 ** -(bit_width - 1)) if bit_width else 1.0
     interpret = interpret or jax.devices()[0].platform == "cpu"
     m_pad = _lane_pad(m)
 
-    def prep(v):
+    def prep(v, hist=None):
         fr = v[..., : n_frames * m].reshape(n_frames, m)
         n_pad = (-n_frames) % block_frames
         tail = n_pad + (_win_rows(block_frames + 8, p) - (block_frames + p - 1))
+        if hist is not None:
+            fr = jnp.concatenate([hist.reshape(p - 1, m).astype(fr.dtype), fr])
+            return jnp.pad(fr, ((0, tail), (0, m_pad - m)))
         return jnp.pad(fr, ((p - 1, tail), (0, m_pad - m)))
 
-    from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
+    if w_parts is not None:
+        n_bands = w_parts[0].shape[1]
+        taps_p, wr_p, wi_p = _pad_weight_slice(taps_rev, *w_parts, m_pad)
+    else:
+        from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
 
-    w = dft_matrix(m, shifted=shift)
-    taps_p, wr_p, wi_p = _pad_weights(taps_rev, w, m_pad)
+        n_bands = m
+        w = dft_matrix(m, shifted=shift)
+        taps_p, wr_p, wi_p = _pad_weights(taps_rev, w, m_pad)
+    hr, hi = history if history is not None else (None, None)
     return _pallas_fir_dft_streams_cm2(
-        prep(xr), prep(xi), taps_p, wr_p, wi_p,
+        prep(xr, hr), prep(xi, hi), taps_p, wr_p, wi_p,
         block_frames=block_frames, scale=scale, sat_level=float(sat_level),
-        t_len=n_frames, m_out=((m + 7) // 8) * 8, interpret=interpret,
+        t_len=n_frames, m_out=((n_bands + 7) // 8) * 8, interpret=interpret,
     )
 
 

@@ -236,6 +236,120 @@ def _build_channelize_local_fused(chan, cfg: PdwConfig, n_time: int,
     return local
 
 
+def _build_channelize_local_fused2(chan, cfg: PdwConfig, n_time: int,
+                                   n_chan: int, t_loc: int, halo: int,
+                                   packed: bool, bit_width: int):
+    """Per-shard v2 (cm2) fused kernel with RAW halo exchange.
+
+    Each shard ppermutes its last ``P-1`` raw frames right (FIR history,
+    as v1) and receives the NEXT shard's first ``halo`` raw frames left,
+    then runs the cm2 kernel over ``t_loc + halo`` frames — the kernel
+    computes the halo's detection streams locally, so (a) the ICI payload
+    is ONE raw array instead of v1's three f32 stream halos (¼ the
+    bytes for int16 payloads), (b) the cross-boundary phase diff at
+    column ``t_loc - 1`` is computed natively (the halo frames are in the
+    same kernel input), and (c) the per-shard saturation cumsum needs no
+    cross-shard base alignment (the extraction only ever differences it).
+    Halo columns equal the single-device streams bit-for-bit: same
+    frames, same FIR history (the shard owns the preceding tail), same
+    op order.  The last shard's halo input is ppermute zeros; its latch
+    guard is applied downstream (``_build_pdw_local_cm2``)."""
+    from sdr_channelizer_tpu.ops.pallas.channelizer_kernel import (
+        pallas_channelize_streams_cm2,
+        pallas_channelize_streams_packed_cm2,
+    )
+
+    taps_np = chan.taps_rev  # (P, M) float32
+    p, m = taps_np.shape
+    m_loc = m // n_chan
+    w = chmod.dft_matrix(m, shifted=True)
+    wr_np = np.ascontiguousarray(np.real(w), np.float32)
+    wi_np = np.ascontiguousarray(np.imag(w), np.float32)
+
+    def w_slice():
+        if n_chan == 1:
+            return None
+        c_i = jax.lax.axis_index(CHAN_AXIS)
+        return (
+            jax.lax.dynamic_slice_in_dim(
+                jnp.asarray(wr_np), c_i * m_loc, m_loc, axis=1),
+            jax.lax.dynamic_slice_in_dim(
+                jnp.asarray(wi_np), c_i * m_loc, m_loc, axis=1),
+        )
+
+    def exchange(frames):
+        hist = (jax.lax.ppermute(frames[-(p - 1):], TIME_AXIS,
+                                 _fwd_perm(n_time))
+                if p > 1 else None)
+        head = (jax.lax.ppermute(frames[:halo], TIME_AXIS,
+                                 _bwd_perm(n_time))
+                if halo else None)
+        return hist, head
+
+    if packed:
+        def local(xq_loc: jax.Array):
+            frames = xq_loc.reshape(t_loc, m)
+            hist, head = exchange(frames)
+            ext = frames if head is None else jnp.concatenate([frames, head])
+            return pallas_channelize_streams_packed_cm2(
+                ext.reshape(-1), taps_np, bit_width=bit_width,
+                sat_level=cfg.saturation_level, history=hist,
+                w_parts=w_slice(),
+            )
+    else:
+        def local(xr_loc: jax.Array, xi_loc: jax.Array):
+            fr = xr_loc.reshape(t_loc, m)
+            fi = xi_loc.reshape(t_loc, m)
+            hr, headr = exchange(fr)
+            hi, headi = exchange(fi)
+            extr = fr if headr is None else jnp.concatenate([fr, headr])
+            exti = fi if headi is None else jnp.concatenate([fi, headi])
+            history = None if hr is None else (hr, hi)
+            return pallas_channelize_streams_cm2(
+                extr.reshape(-1), exti.reshape(-1), taps_np,
+                bit_width=bit_width, sat_level=cfg.saturation_level,
+                history=history, w_parts=w_slice(),
+            )
+
+    return local
+
+
+def _build_pdw_local_cm2(cfg: PdwConfig, n_time: int, t_loc: int,
+                         halo: int, m_loc: int, t_ext: int):
+    """Per-shard v2 extraction from the cm2 streams (``t_ext = t_loc +
+    halo`` columns; arrays may be grid-padded past it): cross-shard latch
+    chaining as v1, last-shard +inf latch guard over the halo columns
+    (pulse open at capture end never closes — the reference rule), and
+    ``_extract_channelized_cm2`` with the block contract."""
+
+    def local(mag_cm, dph_cm, satcs_cm, nf_loc: jax.Array) -> PdwBatch:
+        t_i = jax.lax.axis_index(TIME_AXIS)
+
+        a_blk, b_blk = pdwmod.block_transfer(
+            mag_cm[:m_loc, :t_loc], nf_loc[:, None],
+            cfg.snr_threshold_db, cfg.trailing_threshold_db,
+        )
+        ag_a = jax.lax.all_gather(a_blk, TIME_AXIS)
+        ag_b = jax.lax.all_gather(b_blk, TIME_AXIS)
+        pa, _ = jax.lax.associative_scan(
+            pdwmod.compose_transfer, (ag_a, ag_b), axis=0
+        )
+        prev = jnp.take(pa, jnp.maximum(t_i - 1, 0), axis=0)
+        entry = jnp.where(t_i == 0, jnp.zeros((m_loc,), bool), prev)
+
+        col = jnp.arange(mag_cm.shape[1])[None, :]
+        mag_latch = jnp.where(
+            (t_i == n_time - 1) & (col >= t_loc), jnp.inf, mag_cm)
+
+        batch = pdwmod._extract_channelized_cm2(
+            mag_cm, dph_cm, satcs_cm, cfg, nf_loc, t_ext, m_loc,
+            entry_active=entry, own_len=t_loc, mag_latch_cm=mag_latch,
+        )
+        return jax.tree.map(lambda v: v[None], batch)
+
+    return local
+
+
 def _build_pdw_local_streams(cfg: PdwConfig, n_time: int, t_loc: int,
                              halo: int, m: int, pallas_stats: bool):
     """Per-shard PDW extraction from precomputed (t_loc, M) detection
@@ -543,30 +657,117 @@ class ShardedPipeline:
 
         return step, t_loc
 
+    def _fused2_ok(self, n_samples: int) -> bool:
+        """True when the v2 (cm2) sharded route applies: per-column band
+        slices must be 8-row-aligned (the slim cm streams concatenate
+        without interleaved pad rows, so the global array's first M rows
+        are exactly the real channels) and the extended block must fit
+        the stats kernel."""
+        m = self.channelizer.num_bands
+        if m % self.n_chan or (m // self.n_chan) % 8:
+            return False
+        if n_samples % (self.n_time * m):
+            return False
+        t_loc = n_samples // (self.n_time * m)
+        halo = min(self.halo_frames or self.pdw_cfg.max_pulse_samples, t_loc)
+        return (pdwmod._pallas_stats_ok(t_loc + halo, self.pdw_cfg)
+                and t_loc >= self.channelizer.taps_rev.shape[0] - 1)
+
+    def _build_fused2(self, n_samples: int, packed: bool, bit_width: int):
+        """v2 (cm2) fused sharded step: per-shard slim channel-major
+        Pallas kernels with RAW halo exchange over ICI, a global masked
+        noise-floor median between the two shard_maps, and the v2
+        extraction tail per shard — the multi-chip composition of the
+        round-4 single-chip headline route.  Requires :meth:`_fused2_ok`.
+        """
+        n_time, n_chan = self.n_time, self.n_chan
+        m = self.channelizer.num_bands
+        m_loc = m // n_chan
+        t_loc = n_samples // (n_time * m)
+        halo = _cap_halo(self.halo_frames or self.pdw_cfg.max_pulse_samples,
+                         t_loc, self._strict_halo)
+        t_ext = t_loc + halo
+        # the cm2 kernel pads its grid to 1024-frame blocks
+        t_pad = ((t_ext + 1023) // 1024) * 1024
+
+        chan_local = _build_channelize_local_fused2(
+            self.channelizer, self.pdw_cfg, n_time, n_chan, t_loc, halo,
+            packed, bit_width)
+        pdw_local = _build_pdw_local_cm2(
+            self.pdw_cfg, n_time, t_loc, halo, m_loc, t_ext)
+        batch_specs = PdwBatch(
+            **{f.name: P(TIME_AXIS, CHAN_AXIS)
+               for f in dataclasses.fields(PdwBatch)}
+        )
+        cm_spec = P(CHAN_AXIS, TIME_AXIS)
+        in_specs = (P(TIME_AXIS),) if packed else (P(TIME_AXIS),) * 2
+
+        @jax.jit
+        def step(*planes) -> Tuple[jax.Array, PdwBatch]:
+            mag_cm, dph_cm, satcs_cm = jax.shard_map(
+                chan_local, mesh=self.mesh,
+                in_specs=in_specs, out_specs=(cm_spec,) * 3,
+                check_vma=False,
+            )(*planes)
+            # Global per-band median over OWNED columns only (each shard's
+            # trailing halo+grid-pad columns are masked out).
+            col = jnp.arange(mag_cm.shape[1])
+            owned = (col % t_pad) < t_loc
+            nf = medians.masked_median(mag_cm, owned[None, :], axis=1,
+                                       bits=4)
+            batch = jax.shard_map(
+                pdw_local, mesh=self.mesh,
+                in_specs=(cm_spec, cm_spec, cm_spec, P(CHAN_AXIS)),
+                out_specs=batch_specs,
+                check_vma=False,
+            )(mag_cm, dph_cm, satcs_cm, nf)
+            return nf, batch
+
+        return step, t_loc
+
     def step_fused(self, xr: jax.Array, xi: jax.Array, bit_width: int = 0,
-                   stats: str = "auto"):
+                   stats: str = "auto", route: str = "auto"):
         """Run the fused sharded pipeline on float32 (or raw int16) sample
-        planes.  Returns (noise_floor, batch)."""
+        planes.  Returns (noise_floor, batch).  ``route``: "auto" takes
+        the v2 cm2 composition when :meth:`_fused2_ok`, else the v1
+        time-major form; "cm2"/"cm" force."""
         n = int(np.shape(xr)[-1])
-        key = ("fused", n, bit_width, stats)
+        if route == "auto":
+            # an explicit stats mode pins the v1 route (the knob only
+            # exists there); otherwise prefer the v2 composition
+            route = ("cm2" if stats == "auto" and self._fused2_ok(n)
+                     else "cm")
+        key = ("fused", n, bit_width, stats, route)
         if key not in self._cache:
-            self._cache[key] = self._build_fused(
-                n, packed=False, bit_width=bit_width, stats=stats
-            )
+            if route == "cm2":
+                self._cache[key] = self._build_fused2(
+                    n, packed=False, bit_width=bit_width)
+            else:
+                self._cache[key] = self._build_fused(
+                    n, packed=False, bit_width=bit_width, stats=stats
+                )
         fn, _ = self._cache[key]
         return fn(xr, xi)
 
     def step_packed(self, xq: jax.Array, bit_width: int = 12,
-                    stats: str = "auto"):
+                    stats: str = "auto", route: str = "auto"):
         """Run the fused sharded pipeline on the packed recorder payload
         (``samples.view(int32)`` of an (N, 2) int16 buffer, or
-        ``view(int16)`` of int8).  Returns (noise_floor, batch)."""
+        ``view(int16)`` of int8).  Returns (noise_floor, batch).
+        ``route`` as in :meth:`step_fused`."""
         n = int(np.shape(xq)[-1])
-        key = ("packed", n, bit_width, stats)
+        if route == "auto":
+            route = ("cm2" if stats == "auto" and self._fused2_ok(n)
+                     else "cm")
+        key = ("packed", n, bit_width, stats, route)
         if key not in self._cache:
-            self._cache[key] = self._build_fused(
-                n, packed=True, bit_width=bit_width, stats=stats
-            )
+            if route == "cm2":
+                self._cache[key] = self._build_fused2(
+                    n, packed=True, bit_width=bit_width)
+            else:
+                self._cache[key] = self._build_fused(
+                    n, packed=True, bit_width=bit_width, stats=stats
+                )
         fn, _ = self._cache[key]
         return fn(xq)
 
