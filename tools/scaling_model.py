@@ -62,28 +62,30 @@ HOP_LATENCY_US = 2.0     # per collective hop (assumption, small transfers)
 
 def collective_bytes(n_time, n_chan, t_loc, m, p, halo, nf_passes,
                      elem=4):
-    """Per-device per-step collective payload bytes + round counts.
+    """Per-device per-step collective payload bytes + round counts of the
+    shipped cm2 fused sharded composition (parallel/pipeline.py).
 
-    Sources (file:line refs are stable anchors, see parallel/pipeline.py):
-    * FIR history ppermute: each time shard sends its last P-1 frames right
-      (_build_channelize_local_fused:exchange_tail) — (P-1)*M*elem bytes.
-    * noise-floor median: the radix descent's per-pass count reductions
-      cross the time axis (medians.median over the (T, M) sharded array,
-      _build_fused step) — nf_passes rounds of M_loc counts (the multibit
-      descent carries 15 counts/channel/pass; bits=1 carries 1).
-    * PDW stream halos: 3 ppermutes of (halo, M_loc) f32
-      (_build_pdw_local_streams: hm/hp/hs).
+    Sources:
+    * FIR history ppermute: each time shard sends its last P-1 RAW frames
+      right (_build_channelize_local_fused2:exchange) — (P-1)*M*elem.
+    * raw halo ppermute: each shard receives the next shard's first
+      `halo` RAW frames (same exchange) — halo*M*elem; ONE array instead
+      of the v1 form's three f32 stream halos (the per-shard kernel
+      recomputes the halo's streams locally).
+    * noise-floor median: the masked 4-bit radix descent's per-pass count
+      reductions cross the time axis (_build_fused2 step) — nf_passes
+      rounds of (M_loc, 15) counts.
     * latch chaining: 2 all_gathers of (M_loc,) block transfer functions
-      (_build_pdw_local_streams: ag_a/ag_b) — n_time*M_loc each gathered.
+      (_build_pdw_local_cm2: ag_a/ag_b) — n_time*M_loc each gathered.
     """
     m_loc = m // n_chan
     out = {
         "fir_history_ppermute": {
             "bytes": (p - 1) * m * elem, "rounds": 1},
+        "raw_halo_ppermute": {
+            "bytes": halo * m * elem, "rounds": 1},
         "noise_floor_reductions": {
             "bytes": nf_passes * m_loc * 15 * 4, "rounds": nf_passes},
-        "pdw_halo_ppermute": {
-            "bytes": 3 * halo * m_loc * 4, "rounds": 3},
         "latch_allgather": {
             "bytes": 2 * n_time * m_loc * 4, "rounds": 2},
     }
@@ -104,11 +106,11 @@ def ici_time_s(n_time, inv):
     lat = HOP_LATENCY_US * 1e-6
     t = 0.0
     t += inv["fir_history_ppermute"]["bytes"] / bw + lat
+    t += inv["raw_halo_ppermute"]["bytes"] / bw + lat
     # Each noise-floor pass is one all-reduce over the time ring.
     nf = inv["noise_floor_reductions"]
     t += nf["rounds"] * ((nf["bytes"] / nf["rounds"]) * 2 * (n_time - 1)
                          / max(n_time, 1) / bw + (n_time - 1) * lat)
-    t += inv["pdw_halo_ppermute"]["bytes"] / bw + lat
     ag = inv["latch_allgather"]
     t += ag["rounds"] * (ag["bytes"] / ag["rounds"] * (n_time - 1)
                          / max(n_time, 1) / bw + (n_time - 1) * lat)
@@ -117,23 +119,24 @@ def ici_time_s(n_time, inv):
 
 # ------------------------------------------------- HLO collective counts ---
 
-def count_collectives(n_time, n_chan, frames_per_shard=64, m=8):
-    """Lower the fused packed sharded step on a virtual mesh and count the
+def count_collectives(n_time, n_chan, frames_per_shard=256, m=16):
+    """Lower the cm2 fused sharded step on a virtual mesh and count the
     collective ops in the optimized HLO."""
     mesh = make_mesh(n_time=n_time, n_chan=n_chan,
                      devices=jax.devices()[: n_time * n_chan])
-    cfg = PdwConfig.channelized(max_pulses=8, max_pulse_samples=32)
+    cfg = PdwConfig.channelized(max_pulses=64, max_pulse_samples=32)
     chan = Channelizer.create(m)
     pipe = ShardedPipeline(mesh, chan, cfg, halo_frames=32)
     n = m * frames_per_shard * n_time
-    step, _ = pipe._build_fused(n, packed=True, bit_width=12, stats="xla")
+    step, _ = pipe._build_fused2(n, packed=True, bit_width=12)
     xq = np.zeros(n, np.int32)
     hlo = jax.jit(step).lower(xq).compile().as_text()
     counts = {}
     for op in ("all-reduce", "all-gather", "collective-permute",
                "reduce-scatter", "all-to-all"):
-        # count op *instructions* (fusion names can embed op names)
-        counts[op] = len(re.findall(rf"= \S+ {op}\(|{op}-start\(", hlo))
+        # count op *instructions*: "<shape(s)> op(" — tuple shapes contain
+        # spaces, so match on the op token preceded by a space/paren.
+        counts[op] = len(re.findall(rf"[)\]] {op}\(|\S {op}-start\(", hlo))
     return counts
 
 
@@ -181,10 +184,12 @@ def main():
         hlo_counts[f"mesh_{shape[0]}x{shape[1]}"] = count_collectives(*shape)
         log(f"mesh {shape}: {hlo_counts[f'mesh_{shape[0]}x{shape[1]}']}")
 
-    # Expected rounds in the lowered graph (stats='xla' variant used for
-    # lowering): 1 fir ppermute + 3 halo ppermutes (collective-permute),
-    # 2 latch all_gathers; the noise-floor median's cross-shard reductions
-    # lower as all-reduces (count depends on XLA's reduction fusion).
+    # Expected rounds in the lowered cm2 graph: 2 collective-permutes
+    # (1 FIR history + 1 raw halo), 2 latch all_gathers, + the noise-floor
+    # median's cross-shard reduction.  NOTE: this CPU lowering takes the
+    # SORT median path (2 all-to-alls + 1 all-reduce for the partitioned
+    # sort); the real-TPU select path instead emits one small all-reduce
+    # per counting pass (nf_passes), which is what the byte model charges.
     payload = {
         "method": "analytic collective model + virtual-mesh HLO counts "
                   "(no multi-chip hardware in this environment)",
