@@ -136,7 +136,7 @@ def count_collectives(n_time, n_chan, frames_per_shard=256, m=16):
                "reduce-scatter", "all-to-all"):
         # count op *instructions*: "<shape(s)> op(" — tuple shapes contain
         # spaces, so match on the op token preceded by a space/paren.
-        counts[op] = len(re.findall(rf"[)\]] {op}\(|\S {op}-start\(", hlo))
+        counts[op] = len(re.findall(rf"[)\]}}] {op}\(|\S {op}-start\(", hlo))
     return counts
 
 
