@@ -58,6 +58,12 @@ from sdr_channelizer_tpu.ops.medians import masked_median
 # longer ones take the full max_pulse_samples-window kernel (see
 # _extract_channelized_pallas_stats).
 _SHORT_WINDOW = 256
+# v2-route tuning knobs (A/B'd full-graph in tools/tpu_probe_r4.py part H).
+_PIN_EDGES = True       # optimization barrier on the rank-search outputs
+# find_ranks_cm partial-block size: 256 measured -0.31 ms/step dense vs
+# 512 on the cm2 route (PROBE_r04 part H; 1024 is +0.5, and the barrier
+# is now neutral but kept — it was -0.6 on the v1 shapes).
+_RANK_BLOCK = 256
 
 
 @jax.tree_util.register_dataclass
@@ -885,16 +891,18 @@ def _extract_channelized_cm2(
         skip = jnp.zeros((2 * r,), jnp.float32).at[r:r + m].set(
             entry_active.astype(jnp.float32))
         ranks = ranks + skip[:, None]
-    idx = find_ranks_cm(packed, ranks, t_len)
+    idx = find_ranks_cm(packed, ranks, t_len, block=_RANK_BLOCK)
     toa_idx = idx[:m]
     te_idx = idx[r:r + m]
     # Leads within the owned region (ranks past n_own point into the halo;
     # their stats are garbage masked by `matched`).
     n_own = packed[:m, own - 1].astype(jnp.int32)
-    # Pin the rank-search outputs: the tail's many consumers share ONE
-    # materialized copy instead of re-running the cumsum reads
-    # (TAIL_BISECT_r03.json v_bar, -0.6 ms/step).
-    toa_idx, te_idx = jax.lax.optimization_barrier((toa_idx, te_idx))
+    if _PIN_EDGES:
+        # Pin the rank-search outputs: the tail's many consumers share ONE
+        # materialized copy instead of re-running the cumsum reads
+        # (TAIL_BISECT_r03.json v_bar, -0.6 ms/step on the v1 shapes;
+        # re-validated on the cm2 route in PROBE_r04 part H).
+        toa_idx, te_idx = jax.lax.optimization_barrier((toa_idx, te_idx))
 
     matched = (jnp.arange(p_slots)[None, :] < n_own[:, None]) & (te_idx < t_len)
     count = jnp.minimum(jnp.sum(matched, axis=1), max_pulses).astype(jnp.int32)

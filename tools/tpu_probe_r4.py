@@ -368,6 +368,22 @@ def run_part_g():
             clear()
 
 
+def run_part_h():
+    """Full-graph knob A/Bs on the cm2 route: edge-pin barrier off, and
+    rank-search partial-block size 256/1024 (default 512)."""
+    base = dict(pin=pdwmod._PIN_EDGES, blk=pdwmod._RANK_BLOCK)
+    variants = [("nopin", False, 512), ("rb256", True, 256),
+                ("rb1024", True, 1024)]
+    for name, pin, blk in variants:
+        pdwmod._PIN_EDGES, pdwmod._RANK_BLOCK = pin, blk
+        try:
+            dt = graph_time(f"H.{name}_dense", full_route("cm2"), xq_dense)
+            results[f"H_{name}_dense_ms"] = round(dt * 1e3, 3)
+        finally:
+            pdwmod._PIN_EDGES = base["pin"]
+            pdwmod._RANK_BLOCK = base["blk"]
+
+
 def main():
     parts = os.environ.get("PROBE_PARTS", "AB")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -387,7 +403,7 @@ def main():
     for p in parts:
         {"A": run_part_a, "B": run_part_b, "C": run_part_c,
          "D": run_part_d, "E": run_part_e, "F": run_part_f,
-         "G": run_part_g}[p]()
+         "G": run_part_g, "H": run_part_h}[p]()
         flush()
     log("wrote PROBE_r04.json")
 
