@@ -54,6 +54,22 @@ _TDOT = functools.partial(
 # tests) executes HIGHEST as exact f32.
 DFT_PRECISION = jax.lax.Precision.HIGHEST
 
+# Grid time-block cap of the cm2 streams kernels (frames per grid step).
+# Swept full-graph in tools/tpu_probe_r4.py part I: 4096 is -0.2 ms/step
+# vs 1024 at M=64 (fewer grid-sequencing steps).  The per-call default
+# (_default_cm2_block) caps at 1024 for lane-padded M > 128 (VMEM: the
+# DMA window scratch scales with m_pad) and shrinks for short captures
+# (padding to the grid would dominate them).
+CM2_BLOCK_FRAMES = 4096
+
+
+def _default_cm2_block(n_frames: int, m_pad: int) -> int:
+    cap = CM2_BLOCK_FRAMES if m_pad <= 128 else 1024
+    b = 256
+    while b < cap and b < n_frames:
+        b *= 2
+    return min(b, cap)
+
 
 def _dot_dft(a, b):
     """One DFT matmul at the configured precision (see DFT_PRECISION)."""
@@ -627,7 +643,7 @@ def pallas_channelize_streams_packed_cm2(
     bit_width: int = 12,
     sat_level: float = 0.9999,
     shift: bool = True,
-    block_frames: int = 1024,
+    block_frames: Optional[int] = None,
     interpret: bool = False,
     history: Optional[jax.Array] = None,
     w_parts: Optional[Tuple[jax.Array, jax.Array]] = None,
@@ -648,6 +664,8 @@ def pallas_channelize_streams_packed_cm2(
     scale = float(2.0 ** -(bit_width - 1))
     interpret = interpret or jax.devices()[0].platform == "cpu"
     m_pad = _lane_pad(m)
+    if block_frames is None:
+        block_frames = _default_cm2_block(n_frames, m_pad)
 
     fr = xq[..., : n_frames * m].reshape(n_frames, m)
     n_pad = (-n_frames) % block_frames
@@ -682,7 +700,7 @@ def pallas_channelize_streams_cm2(
     bit_width: int = 0,
     sat_level: float = 0.9999,
     shift: bool = True,
-    block_frames: int = 1024,
+    block_frames: Optional[int] = None,
     interpret: bool = False,
     history: Optional[Tuple[jax.Array, jax.Array]] = None,
     w_parts: Optional[Tuple[jax.Array, jax.Array]] = None,
@@ -695,6 +713,8 @@ def pallas_channelize_streams_cm2(
     scale = float(2.0 ** -(bit_width - 1)) if bit_width else 1.0
     interpret = interpret or jax.devices()[0].platform == "cpu"
     m_pad = _lane_pad(m)
+    if block_frames is None:
+        block_frames = _default_cm2_block(n_frames, m_pad)
 
     def prep(v, hist=None):
         fr = v[..., : n_frames * m].reshape(n_frames, m)

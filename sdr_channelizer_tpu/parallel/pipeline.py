@@ -687,8 +687,14 @@ class ShardedPipeline:
         halo = _cap_halo(self.halo_frames or self.pdw_cfg.max_pulse_samples,
                          t_loc, self._strict_halo)
         t_ext = t_loc + halo
-        # the cm2 kernel pads its grid to 1024-frame blocks
-        t_pad = ((t_ext + 1023) // 1024) * 1024
+        # grid pad of the per-shard cm2 kernel (same default the wrapper
+        # will pick — the owned-column mask below must match it)
+        from sdr_channelizer_tpu.ops.pallas.channelizer_kernel import (
+            _default_cm2_block, _lane_pad,
+        )
+
+        bf = _default_cm2_block(t_ext, _lane_pad(m))
+        t_pad = ((t_ext + bf - 1) // bf) * bf
 
         chan_local = _build_channelize_local_fused2(
             self.channelizer, self.pdw_cfg, n_time, n_chan, t_loc, halo,

@@ -384,6 +384,23 @@ def run_part_h():
             pdwmod._RANK_BLOCK = base["blk"]
 
 
+def run_part_i():
+    """Full-graph sweep of the cm2 streams-kernel grid block (frames per
+    grid step): per-step sequencing overhead vs VMEM pressure."""
+    import sdr_channelizer_tpu.ops.pallas.channelizer_kernel as ck
+
+    base = ck.CM2_BLOCK_FRAMES
+    for bf in (512, 2048, 4096):
+        ck.CM2_BLOCK_FRAMES = bf
+        ck._pallas_fir_dft_streams_cm2.clear_cache()
+        try:
+            dt = graph_time(f"I.bf{bf}_dense", full_route("cm2"), xq_dense)
+            results[f"I_bf{bf}_dense_ms"] = round(dt * 1e3, 3)
+        finally:
+            ck.CM2_BLOCK_FRAMES = base
+            ck._pallas_fir_dft_streams_cm2.clear_cache()
+
+
 def main():
     parts = os.environ.get("PROBE_PARTS", "AB")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -403,7 +420,7 @@ def main():
     for p in parts:
         {"A": run_part_a, "B": run_part_b, "C": run_part_c,
          "D": run_part_d, "E": run_part_e, "F": run_part_f,
-         "G": run_part_g, "H": run_part_h}[p]()
+         "G": run_part_g, "H": run_part_h, "I": run_part_i}[p]()
         flush()
     log("wrote PROBE_r04.json")
 
