@@ -60,6 +60,7 @@ from sdr_channelizer_tpu.ops.medians import masked_median
 _SHORT_WINDOW = 256
 # v2-route tuning knobs (A/B'd full-graph in tools/tpu_probe_r4.py part H).
 _PIN_EDGES = True       # optimization barrier on the rank-search outputs
+_STATS_DB = False       # double-buffered stats-kernel window DMAs
 # find_ranks_cm partial-block size: 256 measured -0.31 ms/step dense vs
 # 512 on the cm2 route (PROBE_r04 part H; 1024 is +0.5, and the barrier
 # is now neutral but kept — it was -0.6 on the v1 shapes).
@@ -989,7 +990,8 @@ def _extract_channelized_cm2(
                 e_sel = jnp.where(sel, te_idx, sentinel)
                 mm, dd, _ = pulse_stats(mag_cm, dph_cm, None, t_sel, e_sel,
                                         window=window, t_len=t_len,
-                                        gate_slots=gate_slots)
+                                        gate_slots=gate_slots,
+                                        double_buffer=_STATS_DB)
                 return mm, dd
 
             s_mag, s_dph = tier(is_short, sw)

@@ -88,7 +88,8 @@ def _f32_from_keys(u):
 
 def _stats_kernel(live_sm, *refs,
                   n_tiles: int, rows: int, window: int, t_len: int,
-                  with_sat: bool = True, gate_slots: bool = False):
+                  with_sat: bool = True, gate_slots: bool = False,
+                  double_buffer: bool = False):
     """One invocation, ``fori_loop`` over the 128-pulse tiles.
 
     A tile with no valid slots costs one scalar load + branch — NOT a grid
@@ -131,58 +132,68 @@ def _stats_kernel(live_sm, *refs,
     if with_sat:
         sat_out[...] = jnp.zeros_like(sat_out)
 
-    def _tile_body(j):
-        # Stage this tile's slot scalars into SMEM (lane slice is
-        # TILE-aligned, full 8 sublanes — legal DMA shape).
+    # ``double_buffer``: buffers/SMEM/sems carry a leading slot axis of 2;
+    # each live tile prefetches the NEXT live tile's windows before its own
+    # radix descent, overlapping the window DMAs with compute.
+    def buf_at(buf, slot):
+        return buf.at[slot] if double_buffer else buf
+
+    def sem_at(k, slot):
+        return sems.at[slot, k] if double_buffer else sems.at[k]
+
+    def _issue_tile(j, slot):
+        """Stage tile j's slot scalars into SMEM (lane slice is
+        TILE-aligned, full 8 sublanes — legal DMA shape), then start its
+        window DMAs (scalar toa/chan reads drive the offsets).  Copies are
+        UNGATED unless ``gate_slots``: invalid slots read clamped-offset
+        rows (their masks are all-false, so the stale data never
+        matters)."""
         for any_ref, sm_ref, k in ((toa_any, toa_sm, 3), (chan_any, chan_sm, 4)):
             pltpu.make_async_copy(
-                any_ref.at[:, pl.ds(j * TILE, TILE)], sm_ref, sems.at[k],
+                any_ref.at[:, pl.ds(j * TILE, TILE)], buf_at(sm_ref, slot),
+                sem_at(k, slot),
             ).start()
         for any_ref, sm_ref, k in ((toa_any, toa_sm, 3), (chan_any, chan_sm, 4)):
             pltpu.make_async_copy(
-                any_ref.at[:, pl.ds(j * TILE, TILE)], sm_ref, sems.at[k],
+                any_ref.at[:, pl.ds(j * TILE, TILE)], buf_at(sm_ref, slot),
+                sem_at(k, slot),
             ).wait()
-
-        # Issue the tile's DMAs (scalar toa/chan reads drive the offsets).
-        # Copies are UNGATED: invalid slots read clamped-offset rows (their
-        # masks below are all-false, so the stale data never matters), and
-        # dropping the 2*TILE scalar branches per tile beats skipping the
-        # odd dead slot in a live tile.
-        streams = [(mag_hbm, mag_buf, 0), (dph_hbm, dph_buf, 1)]
-        if with_sat:
-            streams.append((sat_hbm, sat_buf, 2))
-
-        def slot_copies(s):
-            c = chan_sm[0, s]
-            toa = toa_sm[0, s]
-            r0 = jnp.clip(toa // LANES, 0, n_rows_total - rows)
-            return [
-                pltpu.make_async_copy(
-                    hbm.at[c, pl.ds(r0, rows), :],
-                    buf.at[pl.ds(s * rows, rows), :],
-                    sems.at[k],
-                )
-                for hbm, buf, k in streams
-            ]
-
-        # ``gate_slots``: skip dead slots' DMAs behind a scalar branch.
-        # With compacted slot lists (valid slots packed to the front) the
-        # 2*TILE branches cost more than the odd wasted copy; with
-        # tier-masked per-channel slot GRIDS (the v2 no-compaction route) a
-        # live tile is mostly sentinels and gating skips ~90% of the DMAs.
-        def start_slot(s):
-            for cp in slot_copies(s):
-                cp.start()
-
-        def wait_slot(s):
-            for cp in slot_copies(s):
-                cp.wait()
 
         for s in range(TILE):
             if gate_slots:
-                pl.when(toa_sm[0, s] < t_len)(lambda s=s: start_slot(s))
+                pl.when(buf_at(toa_sm, slot)[0, s] < t_len)(
+                    lambda s=s: _start_slot(s, slot))
             else:
-                start_slot(s)
+                _start_slot(s, slot)
+
+    streams = [(mag_hbm, mag_buf, 0), (dph_hbm, dph_buf, 1)]
+    if with_sat:
+        streams.append((sat_hbm, sat_buf, 2))
+
+    def _slot_copies(s, slot):
+        c = buf_at(chan_sm, slot)[0, s]
+        toa = buf_at(toa_sm, slot)[0, s]
+        r0 = jnp.clip(toa // LANES, 0, n_rows_total - rows)
+        return [
+            pltpu.make_async_copy(
+                hbm.at[c, pl.ds(r0, rows), :],
+                buf_at(buf, slot).at[pl.ds(s * rows, rows), :],
+                sem_at(k, slot),
+            )
+            for hbm, buf, k in streams
+        ]
+
+    def _start_slot(s, slot):
+        for cp in _slot_copies(s, slot):
+            cp.start()
+
+    def _wait_slot(s, slot):
+        for cp in _slot_copies(s, slot):
+            cp.wait()
+
+    def _tile_body(j, slot=0):
+        if not double_buffer:
+            _issue_tile(j, slot)
 
         # Per-pulse toa/te as (TILE, 1) f32 columns from the (8, P) VMEM
         # arrays (row replicated 8x — TPU block sublane dims must be
@@ -223,9 +234,10 @@ def _stats_kernel(live_sm, *refs,
 
         for s in range(TILE):
             if gate_slots:
-                pl.when(toa_sm[0, s] < t_len)(lambda s=s: wait_slot(s))
+                pl.when(buf_at(toa_sm, slot)[0, s] < t_len)(
+                    lambda s=s: _wait_slot(s, slot))
             else:
-                wait_slot(s)
+                _wait_slot(s, slot)
 
         # --- row-space group arithmetic (no MXU in the hot loop) ---
         # Every per-pulse scalar lives as a (g, 1) column with the value
@@ -358,8 +370,8 @@ def _stats_kernel(live_sm, *refs,
             return jnp.where(to_row(n) > 0.0, to_row(med0),
                              jnp.float32(np.nan))
 
-        mag_mn, dph_mn = median_pair(mag_buf[...], m_mask,
-                                     dph_buf[...], d_mask)
+        mag_mn, dph_mn = median_pair(buf_at(mag_buf, slot)[...], m_mask,
+                                     buf_at(dph_buf, slot)[...], d_mask)
 
         # Mosaic dynamic stores need 8-aligned sublane offsets: outputs are
         # (8, P) with every row identical; the wrapper takes row 0.
@@ -367,16 +379,40 @@ def _stats_kernel(live_sm, *refs,
         mag_out[pl.ds(0, 8), pl.ds(off, TILE)] = eight * med_row(mag_mn)
         dph_out[pl.ds(0, 8), pl.ds(off, TILE)] = eight * med_row(dph_mn)
         if with_sat:
-            sat_col = gsum(jnp.where(s_mask, sat_buf[...], 0.0))
+            sat_col = gsum(jnp.where(s_mask, buf_at(sat_buf, slot)[...], 0.0))
             sat_out[pl.ds(0, 8), pl.ds(off, TILE)] = eight * to_row(
                 jnp.where(sat_col > 0.5, 1.0, 0.0)
             )
 
-    def _loop(j, carry):
-        @pl.when(live_sm[j] > 0)
-        def _():
-            _tile_body(j)
-        return carry
+    if double_buffer:
+        def _loop(j, carry):
+            @pl.when(live_sm[j] > 0)
+            def _():
+                slot = jax.lax.rem(j, 2)
+                # self-fetch unless the previous (live) tile prefetched us
+                fetched = jnp.logical_and(
+                    j > 0, live_sm[jnp.maximum(j - 1, 0)] > 0)
+
+                @pl.when(jnp.logical_not(fetched))
+                def _():
+                    _issue_tile(j, slot)
+
+                # prefetch the next live tile into the other buffer so its
+                # window DMAs overlap this tile's radix descent
+                @pl.when(jnp.logical_and(
+                    j + 1 < n_tiles,
+                    live_sm[jnp.minimum(j + 1, n_tiles - 1)] > 0))
+                def _():
+                    _issue_tile(j + 1, 1 - slot)
+
+                _tile_body(j, slot)
+            return carry
+    else:
+        def _loop(j, carry):
+            @pl.when(live_sm[j] > 0)
+            def _():
+                _tile_body(j)
+            return carry
 
     jax.lax.fori_loop(0, n_tiles, _loop, jnp.int32(0))
 
@@ -417,6 +453,7 @@ def _pulse_stats_flat(
     interpret: bool,
     t_len: int,
     gate_slots: bool = False,
+    double_buffer: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Dense-slot kernel driver shared by the 2-D and dense wrappers.
 
@@ -464,7 +501,7 @@ def _pulse_stats_flat(
 
     kernel = functools.partial(
         _stats_kernel, n_tiles=n_tiles, rows=rows, window=window, t_len=t_len,
-        with_sat=with_sat, gate_slots=gate_slots,
+        with_sat=with_sat, gate_slots=gate_slots, double_buffer=double_buffer,
     )
     n_out = 3 if with_sat else 2
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -478,10 +515,15 @@ def _pulse_stats_flat(
         ),
         out_specs=[vmem_spec] * n_out,
         scratch_shapes=(
-            [pltpu.VMEM((g, LANES), jnp.float32)] * n_out
-            + [pltpu.SMEM((8, TILE), jnp.int32),
-               pltpu.SMEM((8, TILE), jnp.int32),
-               pltpu.SemaphoreType.DMA((5,))]
+            ([pltpu.VMEM((2, g, LANES), jnp.float32)] * n_out
+             + [pltpu.SMEM((2, 8, TILE), jnp.int32),
+                pltpu.SMEM((2, 8, TILE), jnp.int32),
+                pltpu.SemaphoreType.DMA((2, 5))])
+            if double_buffer else
+            ([pltpu.VMEM((g, LANES), jnp.float32)] * n_out
+             + [pltpu.SMEM((8, TILE), jnp.int32),
+                pltpu.SMEM((8, TILE), jnp.int32),
+                pltpu.SemaphoreType.DMA((5,))])
         ),
     )
     stream_args = [mag_cm.reshape(view), dph_cm.reshape(view)]
@@ -508,7 +550,8 @@ def _pulse_stats_flat(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window", "interpret", "t_len", "gate_slots"),
+    static_argnames=("window", "interpret", "t_len", "gate_slots",
+                     "double_buffer"),
 )
 def pulse_stats(
     mag_cm: jax.Array,   # (M, T) f32 channel-major magnitude
@@ -521,6 +564,7 @@ def pulse_stats(
     interpret: bool = False,
     t_len: int | None = None,
     gate_slots: bool = False,
+    double_buffer: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Per-pulse (median mag, median dph, saturated) of shape (M, P_slots).
 
@@ -544,7 +588,7 @@ def pulse_stats(
         mag_cm, dph_cm, sat_cm,
         toa.reshape(-1), te.reshape(-1), chan.reshape(-1),
         window=window, interpret=interpret, t_len=t_len,
-        gate_slots=gate_slots,
+        gate_slots=gate_slots, double_buffer=double_buffer,
     )
     return (mm.reshape(m, p_slots), dd.reshape(m, p_slots),
             ss.reshape(m, p_slots) if ss is not None else None)
@@ -552,7 +596,8 @@ def pulse_stats(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window", "interpret", "t_len", "gate_slots"),
+    static_argnames=("window", "interpret", "t_len", "gate_slots",
+                     "double_buffer"),
 )
 def pulse_stats_dense(
     mag_cm: jax.Array,   # (M, T) f32 channel-major magnitude
@@ -566,6 +611,7 @@ def pulse_stats_dense(
     interpret: bool = False,
     t_len: int | None = None,
     gate_slots: bool = False,
+    double_buffer: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Dense-list variant of :func:`pulse_stats`: one flat slot list
     mixing all channels, shape (P,) outputs.
@@ -581,5 +627,5 @@ def pulse_stats_dense(
     return _pulse_stats_flat(
         mag_cm, dph_cm, sat_cm, toa, te, chan,
         window=window, interpret=interpret, t_len=t_len,
-        gate_slots=gate_slots,
+        gate_slots=gate_slots, double_buffer=double_buffer,
     )

@@ -401,6 +401,18 @@ def run_part_i():
             ck._pallas_fir_dft_streams_cm2.clear_cache()
 
 
+def run_part_j():
+    """Full-graph A/B: double-buffered stats-kernel window DMAs (prefetch
+    the next live tile's windows during this tile's radix descent)."""
+    pdwmod._STATS_DB = True
+    try:
+        for label, q in (("dense", xq_dense), ("sparse", xq_sparse)):
+            dt = graph_time(f"J.statsdb_{label}", full_route("cm2"), q)
+            results[f"J_statsdb_{label}_ms"] = round(dt * 1e3, 3)
+    finally:
+        pdwmod._STATS_DB = False
+
+
 def main():
     parts = os.environ.get("PROBE_PARTS", "AB")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -420,7 +432,8 @@ def main():
     for p in parts:
         {"A": run_part_a, "B": run_part_b, "C": run_part_c,
          "D": run_part_d, "E": run_part_e, "F": run_part_f,
-         "G": run_part_g, "H": run_part_h, "I": run_part_i}[p]()
+         "G": run_part_g, "H": run_part_h, "I": run_part_i,
+         "J": run_part_j}[p]()
         flush()
     log("wrote PROBE_r04.json")
 
