@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sdr_channelizer_tpu.config import ChannelizerConfig, PdwConfig
+from sdr_channelizer_tpu.config import PdwConfig
 from sdr_channelizer_tpu.dsp import pdw as pdwmod
 from sdr_channelizer_tpu.ops import medians
 from sdr_channelizer_tpu.dsp.channelizer import Channelizer, channelize
