@@ -417,16 +417,21 @@ def main():
     parts = os.environ.get("PROBE_PARTS", "AB")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     prior = os.path.join(repo, "PROBE_r04.json")
+    notes = ""
     if os.path.exists(prior):  # accumulate across invocations
-        results.update(json.load(open(prior)).get("results", {}))
+        d = json.load(open(prior))
+        results.update(d.get("results", {}))
+        notes = d.get("notes", "")
 
     def flush():
         with open(os.path.join(repo, "PROBE_r04.json"), "w") as f:
             json.dump({"shape": {"bands": BANDS, "frames": FRAMES},
                        "payload": "bench.py dense/sparse captures",
-                       "protocol": "in-graph fori_loop repetition, "
-                                   f"(t({K2})-t({K1}))/{K2 - K1}, "
-                                   f"min of {REPS} reps",
+                       "protocol": "in-graph fori_loop repetition; F/B/G/"
+                                   "H/I/J parts use the corrected "
+                                   "out-of-flat-region rule "
+                                   "(KSWEEP_r04.json)",
+                       "notes": notes,
                        "results": results}, f, indent=1, sort_keys=True)
 
     for p in parts:
