@@ -216,7 +216,12 @@ results["spectrogram_packed"] = {
 }
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-with open(os.path.join(repo, "VALIDATE_r04.json"), "w") as f:
+path = os.path.join(repo, "VALIDATE_r04.json")
+if os.path.exists(path):  # merge: other tools add entries (tpu_int8_point)
+    merged = json.load(open(path))
+    merged.update(results)
+    results = merged
+with open(path, "w") as f:
     json.dump(results, f, indent=1, sort_keys=True)
 log("wrote VALIDATE_r04.json")
 log(json.dumps(results, indent=1, sort_keys=True))
