@@ -150,6 +150,14 @@ class DeviceDwellEmitter:
     scan_period_sec: float = 0.0
     scan_phase_sec: float = 0.0
     scan_curvature_db_per_s2: float = 0.0
+    # Optional second emitter (distinct PRI/tone, steady — no scan
+    # envelope): the dense-environment / multi-emitter stress scenes the
+    # reference loop faces (usrp_predict_event.cpp ingests whatever the
+    # antenna sees).  rel_amplitude2 = 0 disables it.
+    tone2_offset_hz: float = 0.0
+    pulse_width2_sec: float = 0.0
+    pri2_sec: float = 1e-3
+    rel_amplitude2: float = 0.0
     counters: Counters = dataclasses.field(default_factory=Counters)
 
     def __post_init__(self):
@@ -163,14 +171,19 @@ class DeviceDwellEmitter:
         fs = float(self.sample_rate_sps)
         pri_n = max(int(round(self.pri_sec * fs)), 1)
         pw_n = int(round(self.pulse_width_sec * fs))
+        pri2_n = max(int(round(self.pri2_sec * fs)), 1)
+        pw2_n = int(round(self.pulse_width2_sec * fs))
         fsc = float(2 ** (self.bit_width - 1))
         cyc = float(self.tone_offset_hz / fs)
+        cyc2 = float(self.tone2_offset_hz / fs)
         period = float(self.scan_period_sec)
         curv = float(self.scan_curvature_db_per_s2)
+        with_second = self.rel_amplitude2 > 0
         self._pri_n = pri_n
 
         @functools.partial(jax.jit, static_argnames=("n",))
-        def emit(k0_mod, t_off, amp_db0, noise_std, key, *, n):
+        def emit(k0_mod, k0_mod2, t_off, amp_db0, amp2_db0, noise_std, key,
+                 *, n):
             k = k0_mod + jnp.arange(n, dtype=jnp.int32)
             km = (k % pri_n).astype(jnp.float32)
             on = km < pw_n
@@ -182,15 +195,26 @@ class DeviceDwellEmitter:
                 env = jnp.zeros((n,), jnp.float32)
             amp = jnp.where(on, 10.0 ** ((amp_db0 + env) / 20.0), 0.0)
             ph = np.float32(2.0 * np.pi * cyc) * km
+            sig_r = amp * jnp.cos(ph)
+            sig_i = amp * jnp.sin(ph)
+            if with_second:
+                k2 = k0_mod2 + jnp.arange(n, dtype=jnp.int32)
+                km2 = (k2 % pri2_n).astype(jnp.float32)
+                amp2 = jnp.where(km2 < pw2_n,
+                                 10.0 ** (amp2_db0 / 20.0), 0.0)
+                ph2 = np.float32(2.0 * np.pi * cyc2) * km2
+                sig_r = sig_r + amp2 * jnp.cos(ph2)
+                sig_i = sig_i + amp2 * jnp.sin(ph2)
             kr, ki = jax.random.split(key)
             s = noise_std / np.float32(np.sqrt(2))
-            raw_r = (amp * jnp.cos(ph) + s * jax.random.normal(kr, (n,))) * fsc
-            raw_i = (amp * jnp.sin(ph) + s * jax.random.normal(ki, (n,))) * fsc
+            raw_r = (sig_r + s * jax.random.normal(kr, (n,))) * fsc
+            raw_i = (sig_i + s * jax.random.normal(ki, (n,))) * fsc
             xr = jnp.clip(jnp.round(raw_r), -fsc, fsc - 1) * (1.0 / fsc)
             xi = jnp.clip(jnp.round(raw_i), -fsc, fsc - 1) * (1.0 / fsc)
             return xr.astype(jnp.float32), xi.astype(jnp.float32)
 
         self._emit = emit
+        self._pri2_n = pri2_n
         self._key = jax.random.PRNGKey(self.seed)
 
     @property
@@ -222,9 +246,15 @@ class DeviceDwellEmitter:
         else:
             t_off = 0.0
         key = jax.random.fold_in(self._key, self._dwell_no)
+        if self.rel_amplitude2 > 0:
+            amp2_db0 = (20.0 * _np.log10(self.rel_amplitude2)
+                        + (self.gain_db - self.gain_ref_db))
+        else:
+            amp2_db0 = -_np.inf
         planes = self._emit(
-            _np.int32(idx % self._pri_n), _np.float32(t_off),
-            _np.float32(amp_db0), _np.float32(noise_std), key,
+            _np.int32(idx % self._pri_n), _np.int32(idx % self._pri2_n),
+            _np.float32(t_off), _np.float32(amp_db0), _np.float32(amp2_db0),
+            _np.float32(noise_std), key,
             n=num_samples)
         self._dwell_no += 1
         self._abs_index = idx + num_samples

@@ -52,6 +52,18 @@ class Receiver(Protocol):
         ...
 
 
+class DwellError(RuntimeError):
+    """A dwell failed in a way the reference recorders survive: they log,
+    count, and keep looping — only whole dwells are ever written
+    (``usrp_record_iq_12bit.cpp:201-227``, the drop-don't-corrupt rule).
+    ``code`` is the reference's switch label ("timeout", "overflow",
+    "short", or "other") so loops can count per class."""
+
+    def __init__(self, code: str, message: str):
+        super().__init__(message)
+        self.code = code
+
+
 @dataclasses.dataclass
 class UhdRadio:
     """B200mini receive path over UHD — ``usrp_record_iq_12bit.cpp:46-149``.
@@ -88,6 +100,8 @@ class UhdRadio:
     subdev: str = "A:A"  # :17
     antenna: str = "RX2"  # :19
     driver: Optional[object] = None  # injectable `uhd` module
+    overruns: int = 0   # ERROR_CODE_OVERFLOW count, :210-212
+    timeouts: int = 0   # ERROR_CODE_TIMEOUT count, :206-208
 
     def __post_init__(self):
         if self.driver is None:
@@ -176,9 +190,41 @@ class UhdRadio:
         dwell = num_samples / self.sample_rate_sps
         buf = np.empty((1, num_samples), np.complex64)
         got = int(self.rx_stream.recv(buf, meta, timeout=dwell + 0.5))  # :194
-        if got != num_samples:  # TIMEOUT / OVERFLOW switch, :201-218
-            raise RuntimeError(
-                f"short dwell: {got}/{num_samples} samples ({meta.error_code})"
+
+        # Streaming error-code switch (usrp_record_iq_12bit.cpp:201-218):
+        # the reference logs TIMEOUT, counts OVERFLOW, logs anything else,
+        # and then writes the dwell only if it is whole (:220-227).  Here
+        # the same classes surface as counters + a coded DwellError the
+        # recorder/tracker loops drop-don't-corrupt on; an overflow whose
+        # data still arrived whole is counted and returned, like the
+        # reference's fall-through.
+        ec = getattr(uhd.types, "RXMetadataErrorCode", None)
+        code_none = getattr(ec, "none", 0) if ec is not None else 0
+        code_timeout = getattr(ec, "timeout", 0x1) if ec is not None else 0x1
+        code_overflow = getattr(ec, "overflow", 0x8) if ec is not None else 0x8
+        err = meta.error_code
+        if err == code_overflow and err != code_none:
+            self.overruns += 1  # :210-212
+            if got != num_samples:
+                raise DwellError(
+                    "overflow",
+                    f"ERROR_CODE_OVERFLOW: {got}/{num_samples} samples "
+                    f"(overruns={self.overruns})",
+                )
+        elif err == code_timeout and err != code_none:
+            self.timeouts += 1  # :206-208
+            raise DwellError(
+                "timeout",
+                f"ERROR_CODE_TIMEOUT: got timeout before all samples "
+                f"received ({got}/{num_samples})",
+            )
+        elif err != code_none:
+            detail = (str(meta.strerror()) if hasattr(meta, "strerror")
+                      else str(err))
+            raise DwellError("other", f"rx error: {detail}")  # :215-217
+        elif got != num_samples:
+            raise DwellError(
+                "short", f"short dwell: {got}/{num_samples} samples"
             )
         return buf[0], float(meta.time_spec.get_real_secs())  # :196
 

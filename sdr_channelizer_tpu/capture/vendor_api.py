@@ -68,6 +68,11 @@ UHD_MODULE: Dict[str, str] = {
     "StreamMode": "uhd.types.StreamMode enum — types_python.hpp",
     "num_done": "StreamMode.num_done (= STREAM_MODE_NUM_SAMPS_AND_DONE)",
     "RXMetadata": "uhd.types.RXMetadata — metadata_python.hpp",
+    "RXMetadataErrorCode": "uhd.types.RXMetadataErrorCode enum — "
+                           "metadata_python.hpp (rx_metadata_t::error_code_t)",
+    "none": "RXMetadataErrorCode.none (= ERROR_CODE_NONE, 0x0)",
+    "timeout": "RXMetadataErrorCode.timeout (= ERROR_CODE_TIMEOUT, 0x1)",
+    "overflow": "RXMetadataErrorCode.overflow (= ERROR_CODE_OVERFLOW, 0x8)",
 }
 
 UHD_MULTI_USRP: Dict[str, str] = {
@@ -111,6 +116,7 @@ UHD_STREAM_CMD_FIELDS: Dict[str, str] = {
 UHD_RX_METADATA_FIELDS: Dict[str, str] = {
     "time_spec": "rx_metadata_t::time_spec (TimeSpec)",
     "error_code": "rx_metadata_t::error_code",
+    "strerror": "rx_metadata_t::strerror (usrp_record_iq_12bit.cpp:216)",
     "get_real_secs": "time_spec_t::get_real_secs",
 }
 

@@ -408,6 +408,8 @@ def cmd_predict(args) -> int:
     pred = EventPredictor()
     base_time = None
     next_event = None
+    all_toa: list = []
+    all_snr: list = []
     for path in args.files:
         iq, meta = load_capture(path)
         t0 = float(meta.get("sampleStartTime", 0.0))
@@ -419,6 +421,10 @@ def cmd_predict(args) -> int:
                           max_abs_iq=float(np.max(np.abs(iq))))
         if nxt is not None:
             next_event = nxt
+            # The reference plot accumulates the fitted captures' pulse
+            # samples (predict_event.m:146-148) — keep them for the PNG.
+            all_toa.extend(np.asarray(pdws["toa"], float).tolist())
+            all_snr.extend(np.asarray(pdws["snr"], float).tolist())
             print(f"{path}: event at +{pred.events[-1]:.6f}s, "
                   f"next predicted +{nxt:.6f}s")
         else:
@@ -428,9 +434,12 @@ def cmd_predict(args) -> int:
         if args.png:
             from sdr_channelizer_tpu.viz import event_fit_png
 
-            ev = pred.events
-            event_fit_png(args.png, np.asarray(ev), np.zeros(len(ev)),
-                          event_time=ev[-1], next_event_time=next_event)
+            # Samples + per-capture fitted (t_max, y_max) + current/next
+            # event — the predict_event.m:140-150 live diagnostic.
+            event_fit_png(args.png, np.asarray(all_toa), np.asarray(all_snr),
+                          event_time=pred.events[-1],
+                          next_event_time=next_event,
+                          fits=np.asarray(pred.fits, float))
     return 0
 
 

@@ -65,6 +65,9 @@ _STATS_DB = False       # double-buffered stats-kernel window DMAs
 # 512 on the cm2 route (PROBE_r04 part H; 1024 is +0.5, and the barrier
 # is now neutral but kept — it was -0.6 on the v1 shapes).
 _RANK_BLOCK = 256
+# Stats-kernel descent batching (0 = the kernel's STATS_BATCH_TILES
+# default, 1 = per-tile descents — the round-4 form; probe A/B knob).
+_STATS_BATCH = 0
 
 
 @jax.tree_util.register_dataclass
@@ -754,9 +757,11 @@ def _extract_channelized_pallas_stats(
         toa_s, te_s, ch_s, rank_s = part(is_short)
         toa_l, te_l, ch_l, rank_l = part(is_long)
         outs_s = pulse_stats_dense(mag_cm, dph_cm, sat_cm, toa_s, te_s, ch_s,
-                                   window=sw, t_len=t_len)
+                                   window=sw, t_len=t_len,
+                                   batch_tiles=_STATS_BATCH)
         outs_l = pulse_stats_dense(mag_cm, dph_cm, sat_cm, toa_l, te_l, ch_l,
-                                   window=w, t_len=t_len)
+                                   window=w, t_len=t_len,
+                                   batch_tiles=_STATS_BATCH)
         is_tiny_2d = is_tiny.reshape(m, p_slots)
 
         # One combined gather per output instead of two: short and long
@@ -777,6 +782,7 @@ def _extract_channelized_pallas_stats(
     else:
         med_mag, med_dph, sat_any = pulse_stats(
             mag_cm, dph_cm, sat_cm, toa_idx, te_idx, window=w, t_len=t_len,
+            batch_tiles=_STATS_BATCH,
         )
 
     snr = 10.0 * jnp.log10(med_mag / noise_floor[:, None])
@@ -972,9 +978,11 @@ def _extract_channelized_cm2(
             toa_s, te_s, ch_s, rank_s = part(is_short)
             toa_l, te_l, ch_l, rank_l = part(is_long)
             outs_s = pulse_stats_dense(mag_cm, dph_cm, None, toa_s, te_s,
-                                       ch_s, window=sw, t_len=t_len)
+                                       ch_s, window=sw, t_len=t_len,
+                                       batch_tiles=_STATS_BATCH)
             outs_l = pulse_stats_dense(mag_cm, dph_cm, None, toa_l, te_l,
-                                       ch_l, window=w, t_len=t_len)
+                                       ch_l, window=w, t_len=t_len,
+                                       batch_tiles=_STATS_BATCH)
             rank_c = jnp.where(is_short.reshape(-1), rank_s,
                                rank_l + n_flat).reshape(m, p_slots)
 
@@ -991,7 +999,8 @@ def _extract_channelized_cm2(
                 mm, dd, _ = pulse_stats(mag_cm, dph_cm, None, t_sel, e_sel,
                                         window=window, t_len=t_len,
                                         gate_slots=gate_slots,
-                                        double_buffer=_STATS_DB)
+                                        double_buffer=_STATS_DB,
+                                        batch_tiles=_STATS_BATCH)
                 return mm, dd
 
             s_mag, s_dph = tier(is_short, sw)
@@ -1003,7 +1012,8 @@ def _extract_channelized_cm2(
     else:
         med_mag, med_dph, _ = pulse_stats(
             mag_cm, dph_cm, None, toa_idx, te_idx, window=w, t_len=t_len,
-            gate_slots=(gate_slots and tier_mode != "compact"))
+            gate_slots=(gate_slots and tier_mode != "compact"),
+            batch_tiles=_STATS_BATCH)
 
     snr = 10.0 * jnp.log10(med_mag / noise_floor[:, None])
     zero = jnp.zeros((), jnp.float32)

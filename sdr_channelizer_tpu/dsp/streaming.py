@@ -64,6 +64,35 @@ def _u32_to_f32_np(u: np.ndarray) -> np.ndarray:
     return raw.view(np.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("shift",))
+def _nf_count_le(mag: jax.Array, prefix_i32: jax.Array, shift: int):
+    """Per-channel ``count(key <= cut)`` for the 15 cut points of one
+    4-bit radix level (``ops.medians._kth_smallest_key_multibit``
+    semantics, absolute-range compares so no live mask is carried).
+    ``mag`` is a device-resident (T, M) block; returns (M, 15) f32 counts
+    — the ONLY device->host traffic of the streamed noise-floor counting
+    pass (~4 KB vs the ~29 MB/block magnitude fetch it replaces,
+    VERDICT r4 next #5)."""
+    keys = medians._sortable_u32(mag)  # (T, M)
+    pref = jax.lax.bitcast_convert_type(prefix_i32, jnp.uint32)  # (M,)
+    j = jnp.arange(1, 16, dtype=jnp.uint32)
+    cuts = (pref[:, None] | (j[None, :] << jnp.uint32(shift))) - jnp.uint32(1)
+    below = keys[:, :, None] <= cuts[None, :, :]  # (T, M, 15), fused reduce
+    return jnp.sum(below, axis=0).astype(jnp.float32)
+
+
+@jax.jit
+def _nf_finish(mag: jax.Array, prefix_i32: jax.Array):
+    """Per-channel ``(count(key <= pref), min value strictly above pref)``
+    — the hi-statistic pass (``ops.medians._masked_median_select`` finish
+    trick) as (M,) f32 pairs."""
+    keys = medians._sortable_u32(mag)
+    pref = jax.lax.bitcast_convert_type(prefix_i32, jnp.uint32)[None, :]
+    cnt_le = jnp.sum(keys <= pref, axis=0).astype(jnp.float32)
+    above = jnp.where(keys > pref, mag, jnp.inf)
+    return cnt_le, jnp.min(above, axis=0)
+
+
 @dataclasses.dataclass
 class Segment:
     """A maximal run of time-contiguous dwell files."""
@@ -325,6 +354,68 @@ class StreamingExtractor:
                 low = int(np.searchsorted(cl, r + 1, side="left"))
                 vals[c, j] = _u32_to_f32_np(np.uint32((b << 16) | low))[0]
         return np.float32(0.5) * (vals[:, 0] + vals[:, 1])
+
+    # Device-resident magnitude budget of the counts-only noise-floor path
+    # (bytes).  Streams beyond it fall back to the host-histogram path —
+    # still exact, just d2h-heavy.  2 GB holds ~128 s of 56 Msps capture.
+    _NF_RESIDENT_CAP_BYTES = 2 << 30
+
+    def _noise_floor_device(self, make_mag_blocks_dev) -> Optional[np.ndarray]:
+        """Exact per-channel median with ON-DEVICE count reductions.
+
+        The host-histogram form (:meth:`_noise_floor_from_mag_blocks`)
+        fetches every block's full (T, M) magnitude (~29 MB/block at the
+        bench shape) twice; this form keeps the magnitudes device-resident
+        and runs the ``ops.medians`` 4-bit value-space radix descent over
+        them — 8 counting levels + 1 hi-statistic pass, each fetching only
+        (M, 15) / (M,) f32 count vectors (~4 KB per block-level, a >1000x
+        d2h reduction; VERDICT r4 next #5).  Identical order statistics
+        and mean-of-two-middles, asserted against the host path by
+        tests/test_streaming.py.
+
+        Returns None when the stream exceeds the device-residency budget
+        (the caller falls back to the host-histogram path).
+        """
+        mags = []
+        total_bytes = 0
+        for b in make_mag_blocks_dev():
+            total_bytes += int(np.prod(b.shape)) * 4
+            if total_bytes > self._NF_RESIDENT_CAP_BYTES:
+                return None
+            mags.append(b)
+        if not mags:
+            raise ValueError("empty sample stream: no samples to measure")
+        n_total = sum(int(b.shape[0]) for b in mags)
+        m = int(mags[0].shape[1])
+        k_lo, k_hi = max((n_total - 1) // 2, 0), n_total // 2
+
+        prefix = np.zeros(m, np.uint32)
+        d2h = 0
+        for level in range(8):
+            shift = 28 - 4 * level
+            pref_dev = jnp.asarray(prefix.view(np.int32))
+            # Dispatch every block's count, then fetch once per level.
+            cnts = [_nf_count_le(b, pref_dev, shift) for b in mags]
+            tot = np.zeros((m, 15), np.float64)
+            for c in cnts:
+                tot += np.asarray(c, np.float64)
+                d2h += m * 15 * 4
+            nib = np.sum(tot <= float(k_lo), axis=1).astype(np.uint32)
+            prefix |= nib << np.uint32(shift)
+        lo = _u32_to_f32_np(prefix)
+
+        pref_dev = jnp.asarray(prefix.view(np.int32))
+        outs = [_nf_finish(b, pref_dev) for b in mags]
+        cnt_le = np.zeros(m, np.float64)
+        mins = np.full(m, np.inf, np.float32)
+        for c, mn in outs:
+            cnt_le += np.asarray(c, np.float64)
+            mins = np.minimum(mins, np.asarray(mn))
+            d2h += m * 8
+        hi = np.where(cnt_le > float(k_hi), lo, mins)
+        self.counters.add("nf_device_count_d2h_bytes", d2h)
+        return (np.float32(0.5) * (lo + hi.astype(np.float32))).astype(
+            np.float32)
 
     def measure_noise_floor(self, make_sample_blocks) -> np.ndarray:
         """Exact per-channel median magnitude over the whole stream in
@@ -632,7 +723,7 @@ class StreamingExtractor:
             if nf_path and os.path.exists(nf_path):
                 nf = jnp.asarray(np.load(nf_path)["nf"])
             else:
-                def mag_blocks():
+                def dev_mag_blocks():
                     for k in range(n_blocks):
                         f0 = k * block
                         t_k = min(block, n_frames - f0)
@@ -640,9 +731,20 @@ class StreamingExtractor:
                         mag, _, _, _ = pallas_channelize_streams_packed_cm(
                             xq, chan.taps_rev, bit_width=bit_width,
                             sat_level=cfg.saturation_level, history=hist)
-                        yield np.asarray(mag[:t_k])
+                        yield mag[:t_k]
 
-                nf = jnp.asarray(self._noise_floor_from_mag_blocks(mag_blocks))
+                def mag_blocks():
+                    for b in dev_mag_blocks():
+                        yield np.asarray(b)
+
+                # Counts-only device reduction (falls back to the host
+                # histogram past the residency cap, or on CPU backends
+                # where the host path is the fast one).
+                nf_arr = (self._noise_floor_device(dev_mag_blocks)
+                          if medians.use_sort_free() else None)
+                if nf_arr is None:
+                    nf_arr = self._noise_floor_from_mag_blocks(mag_blocks)
+                nf = jnp.asarray(nf_arr)
                 if nf_path:
                     np.savez(nf_path, nf=np.asarray(nf))
         elif isinstance(noise_floor, str):

@@ -54,6 +54,12 @@ _TDOT = functools.partial(
 # tests) executes HIGHEST as exact f32.
 DFT_PRECISION = jax.lax.Precision.HIGHEST
 
+# Round-5 v3 cm2 route default: transpose the complex planes before the
+# elementwise stream math (see _streams_kernel transpose_first).  Module
+# knob so the TPU probes can A/B both forms full-graph; wrappers treat
+# ``transpose_first=None`` as this value.
+CM2_TRANSPOSE_FIRST = True
+
 # Grid time-block cap of the cm2 streams kernels (frames per grid step).
 # Swept full-graph in tools/tpu_probe_r4.py part I: 4096 is -0.2 ms/step
 # vs 1024 at M=64 (fewer grid-sequencing steps).  The per-call default
@@ -288,7 +294,8 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
                     *refs, block_frames: int, taps_per_band: int,
                     scale: float, sat_level: float, packed: bool = False,
                     channel_major: bool = False, t_len: int = 0,
-                    cm2: bool = False, m_out: int = 0):
+                    cm2: bool = False, m_out: int = 0,
+                    transpose_first: bool = False):
     """Fused channelize + detection-stream kernel: int16 (or f32) planes in;
     magnitude, phase (degrees), and saturation-mask blocks out.
 
@@ -312,7 +319,10 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
     p = taps_per_band
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
-    extra = 8 if channel_major else 0
+    # transpose_first (round-5 v3 cm2 route) needs a whole extra 128-row
+    # transpose tile of look-ahead for the channel-major phase diff; the
+    # transpose-last form needs only 8 (sublane-aligned) rows.
+    extra = (128 if transpose_first else 8) if channel_major else 0
     win = _win_rows(t_blk + extra, p)  # sublane-tiling-aligned DMA window
     if cm2:
         # v2 cm route: NO time-major magnitude output (the noise floor and
@@ -401,6 +411,62 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
     wi = wi_ref[...]
     yr = _dot_dft(ur, wr) - _dot_dft(ui, wi)
     yi = _dot_dft(ur, wi) + _dot_dft(ui, wr)
+
+    if cm2 and transpose_first:
+        # v3 route: transpose the complex PLANES (two MXU identity flips)
+        # instead of the three derived streams, then run the elementwise
+        # stream math channel-major on the m_out real rows only — at M=64
+        # that is half the sqrt/atan2/compare work of the 128-lane-padded
+        # time-major slab, for ~3% more FIR/DFT rows (the 128-row
+        # look-ahead).  Identical op order per element -> bit-identical
+        # streams to the transpose-last form.
+        eye = eye_ref[...]
+        n_ext = t_blk + extra
+
+        def flip(blk_tm):  # (n_ext, m_pad) -> (m_pad, n_ext)
+            tiles = [
+                _TDOT(blk_tm[k * 128 : (k + 1) * 128, :], eye)
+                for k in range(n_ext // 128)
+            ]
+            return jnp.concatenate(tiles, axis=1)
+
+        yr_cm = flip(yr)[:m_out]
+        yi_cm = flip(yi)[:m_out]
+        mag_f = jnp.sqrt(yr_cm * yr_cm + yi_cm * yi_cm)
+        ph_cm = _atan2(yi_cm, yr_cm) * jnp.float32(180.0 / np.pi)
+        sat_f = jnp.where(
+            (jnp.abs(yr_cm) >= sat_level) | (jnp.abs(yi_cm) >= sat_level),
+            jnp.float32(1.0), jnp.float32(0.0),
+        )
+        # Wrapped phase diff along lanes (the cyclic roll's wrap-around
+        # column falls in the discarded look-ahead tail).
+        d = pltpu.roll(ph_cm, n_ext - 1, axis=1) - ph_cm
+        d = jnp.where(d < -180.0, d + 360.0, d)
+        d = jnp.where(d > 180.0, d - 360.0, d)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (m_out, t_blk), 1)
+        pos = lane + i * t_blk
+        d = jnp.where(pos < (t_len - 1), d[:, :t_blk], 0.0)
+        live_col = (pos < t_len).astype(jnp.float32)
+        mag_live = mag_f[:, :t_blk] * live_col
+        sat_live = sat_f[:, :t_blk] * live_col
+
+        mag_cm_ref[...] = mag_live
+        dph_cm_ref[...] = d
+
+        @pl.when(i == 0)
+        def _():
+            sat_carry[...] = jnp.zeros_like(sat_carry)
+
+        sc = sat_live
+        s = 1
+        while s < t_blk:
+            sc = sc + jnp.where(lane >= s, pltpu.roll(sc, s, axis=1), 0.0)
+            s <<= 1
+        sc = sc + sat_carry[:, 0:1]
+        satcs_cm_ref[...] = sc
+        sat_carry[:, 0:1] = sc[:, t_blk - 1 : t_blk]
+        return
+
     mag = jnp.sqrt(yr * yr + yi * yi)
     ph = _atan2(yi, yr) * jnp.float32(180.0 / np.pi)
     sat = jnp.where(
@@ -579,12 +645,13 @@ def _pallas_fir_dft_streams_cm(
 @functools.partial(
     jax.jit,
     static_argnames=("block_frames", "scale", "sat_level", "interpret",
-                     "packed", "t_len", "m_out"),
+                     "packed", "t_len", "m_out", "transpose_first"),
 )
 def _pallas_fir_dft_streams_cm2(
     xr, xi, taps, wr, wi, *,
     block_frames: int, scale: float, sat_level: float, t_len: int,
     m_out: int, interpret: bool = False, packed: bool = False,
+    transpose_first: bool = True,
 ):
     """v2 channel-major variant: returns ``(mag_cm, dph_cm, satcs_cm)`` as
     SLIM ``(m_out, T_pad)`` arrays (m_out = 8-aligned real channels — for
@@ -593,7 +660,7 @@ def _pallas_fir_dft_streams_cm2(
     as an inclusive per-channel cumsum (the stats stage then needs two
     gathers per pulse instead of a third whole-window DMA per slot)."""
     p, m = taps.shape
-    win = _win_rows(block_frames + 8, p)
+    win = _win_rows(block_frames + (128 if transpose_first else 8), p)
     n_frames = xr.shape[0] - (win - block_frames)
     assert n_frames % block_frames == 0
     assert m_out % 8 == 0 and m_out <= m
@@ -603,6 +670,7 @@ def _pallas_fir_dft_streams_cm2(
         _streams_kernel, block_frames=block_frames, taps_per_band=p,
         scale=scale, sat_level=sat_level, packed=packed,
         channel_major=True, t_len=t_len, cm2=True, m_out=m_out,
+        transpose_first=transpose_first,
     )
     out_cm = pl.BlockSpec((m_out, block_frames), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
@@ -647,6 +715,7 @@ def pallas_channelize_streams_packed_cm2(
     interpret: bool = False,
     history: Optional[jax.Array] = None,
     w_parts: Optional[Tuple[jax.Array, jax.Array]] = None,
+    transpose_first: Optional[bool] = None,
 ):
     """Packed ingest -> v2 channel-major detection streams.
 
@@ -666,10 +735,14 @@ def pallas_channelize_streams_packed_cm2(
     m_pad = _lane_pad(m)
     if block_frames is None:
         block_frames = _default_cm2_block(n_frames, m_pad)
+    if transpose_first is None:
+        transpose_first = CM2_TRANSPOSE_FIRST
 
     fr = xq[..., : n_frames * m].reshape(n_frames, m)
     n_pad = (-n_frames) % block_frames
-    tail = n_pad + (_win_rows(block_frames + 8, p) - (block_frames + p - 1))
+    extra = 128 if transpose_first else 8
+    tail = n_pad + (_win_rows(block_frames + extra, p)
+                    - (block_frames + p - 1))
     if history is not None:
         fr = jnp.concatenate([history.reshape(p - 1, m).astype(fr.dtype), fr])
         fr = jnp.pad(fr, ((0, tail), (0, m_pad - m)))
@@ -689,7 +762,7 @@ def pallas_channelize_streams_packed_cm2(
         fr, fr, taps_p, wr_p, wi_p,
         block_frames=block_frames, scale=scale, sat_level=float(sat_level),
         t_len=n_frames, m_out=((n_bands + 7) // 8) * 8, interpret=interpret,
-        packed=True,
+        packed=True, transpose_first=transpose_first,
     )
 
 
@@ -704,6 +777,7 @@ def pallas_channelize_streams_cm2(
     interpret: bool = False,
     history: Optional[Tuple[jax.Array, jax.Array]] = None,
     w_parts: Optional[Tuple[jax.Array, jax.Array]] = None,
+    transpose_first: Optional[bool] = None,
 ):
     """Planes-ingest variant of
     :func:`pallas_channelize_streams_packed_cm2` (``history`` is the
@@ -715,11 +789,16 @@ def pallas_channelize_streams_cm2(
     m_pad = _lane_pad(m)
     if block_frames is None:
         block_frames = _default_cm2_block(n_frames, m_pad)
+    if transpose_first is None:
+        transpose_first = CM2_TRANSPOSE_FIRST
+
+    extra = 128 if transpose_first else 8
 
     def prep(v, hist=None):
         fr = v[..., : n_frames * m].reshape(n_frames, m)
         n_pad = (-n_frames) % block_frames
-        tail = n_pad + (_win_rows(block_frames + 8, p) - (block_frames + p - 1))
+        tail = n_pad + (_win_rows(block_frames + extra, p)
+                        - (block_frames + p - 1))
         if hist is not None:
             fr = jnp.concatenate([hist.reshape(p - 1, m).astype(fr.dtype), fr])
             return jnp.pad(fr, ((0, tail), (0, m_pad - m)))
@@ -739,6 +818,7 @@ def pallas_channelize_streams_cm2(
         prep(xr, hr), prep(xi, hi), taps_p, wr_p, wi_p,
         block_frames=block_frames, scale=scale, sat_level=float(sat_level),
         t_len=n_frames, m_out=((n_bands + 7) // 8) * 8, interpret=interpret,
+        transpose_first=transpose_first,
     )
 
 

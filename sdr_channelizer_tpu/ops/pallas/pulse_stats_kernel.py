@@ -67,6 +67,20 @@ LANES = 128
 # shorter than a tile are padded by the wrappers.
 TILE = 128
 
+# Live tiles whose radix descents run BATCHED as one (n*TILE)-pulse group
+# reduction (round 5).  The per-tile descent is latency-bound — a serial
+# 32-round chain of small vector ops (round-4 part J: double-buffered
+# window DMAs bought nothing because the descent, not the DMA, dominates) —
+# so the dense worst case (every slot tile live) paid ~n_tiles serial
+# descents.  Batching stacks n live tiles' windows in one scratch and runs
+# ONE descent over (n*TILE*rows, LANES): per-group arithmetic is untouched
+# (groups never span tiles), so outputs stay bit-identical while the
+# serial-round count drops n-fold.  Dead slots in a ragged final batch
+# point at an appended all-sentinel tile (masks all-false) instead of
+# branching.  8 balances descent batching against scoped-VMEM growth
+# (the descent carries ~6 (n*TILE*rows, 128) f32 live arrays).
+STATS_BATCH_TILES = 8
+
 _DOT = functools.partial(
     jnp.dot, preferred_element_type=jnp.float32,
     precision=jax.lax.Precision.HIGHEST,
@@ -84,6 +98,130 @@ def _f32_from_keys(u):
     neg = (u >> 31) == 0
     raw = jnp.where(neg, ~u, u & jnp.uint32(0x7FFFFFFF))
     return pltpu.bitcast(raw, jnp.float32)
+
+
+def _group_ops(rows: int, g: int):
+    """Row-space group arithmetic over a ``(g, LANES)`` stacked-window
+    scratch whose axis 0 is consecutive ``rows``-row groups (one pulse
+    each).  Shared by the per-tile and batched kernels — per-group results
+    depend only on the group's own rows (rolls are guarded by the
+    within-group index), so the batched kernel's larger ``g`` changes
+    nothing about any group's arithmetic.  Returns ``(gsum, median_pair)``.
+    """
+    wcol = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+    wcol = wcol - (wcol // rows) * rows  # row index within its group
+
+    def gsum_col(col):
+        """(g, 1) -> (g, 1): per-group total, replicated to the group.
+
+        Log-tree: a Hillis-Steele inclusive prefix within the group
+        followed by a doubling broadcast of the group-tail value —
+        2*ceil(log2(rows)) rolls instead of the 2*(rows-1) of the
+        naive chain."""
+        out = col
+        s = 1
+        while s < rows:
+            out = out + jnp.where(wcol >= s,
+                                  pltpu.roll(out, s, axis=0), 0.0)
+            s <<= 1
+        s = 1
+        while s < rows:
+            out = jnp.where(wcol + s <= rows - 1,
+                            pltpu.roll(out, g - s, axis=0), out)
+            s <<= 1
+        return out
+
+    def gmin_col(col, big):
+        out = col
+        s = 1
+        while s < rows:
+            out = jnp.minimum(
+                out, jnp.where(wcol >= s, pltpu.roll(out, s, axis=0), big)
+            )
+            s <<= 1
+        s = 1
+        while s < rows:
+            out = jnp.where(wcol + s <= rows - 1,
+                            pltpu.roll(out, g - s, axis=0), out)
+            s <<= 1
+        return out
+
+    def gsum(x_f32):  # (g, LANES) -> (g, 1) group totals
+        return gsum_col(jnp.sum(x_f32, axis=1, keepdims=True))
+
+    def select_kth_pair(keys_a, mask_a, k_a, keys_b, mask_b, k_b):
+        """k-th smallest masked key per pulse for TWO independent
+        selections (magnitude and phase-diff medians) in one fori_loop
+        over the 32 bits — the chains have no data dependence on each
+        other, so interleaving them fills the VPU pipeline stalls of
+        each one's serial count->compare->narrow chain and halves the
+        loop-control overhead.  (A fully unrolled version blows the
+        Mosaic stack-VMEM budget.)  All per-pulse state (prefix,
+        remaining rank) stays in row space so the body is matmul-free;
+        live masks are carried as f32 0/1 — Mosaic cannot legalize i1
+        vector carries through scf.for."""
+
+        def body(i, carry):
+            la, pa, ka, lb, pb, kb = carry
+            bit = jnp.uint32(1) << (31 - i)
+            za = (keys_a & bit) == 0
+            zb = (keys_b & bit) == 0
+            ca = gsum(la * za.astype(jnp.float32))
+            cb = gsum(lb * zb.astype(jnp.float32))
+            ta = ka >= ca  # (g, 1) bool, uniform within a group
+            tb = kb >= cb
+            ka = jnp.where(ta, ka - ca, ka)
+            kb = jnp.where(tb, kb - cb, kb)
+            pa = jnp.where(ta, pa | bit, pa)
+            pb = jnp.where(tb, pb | bit, pb)
+            la = la * (za ^ ta).astype(jnp.float32)
+            lb = lb * (zb ^ tb).astype(jnp.float32)
+            return la, pa, ka, lb, pb, kb
+
+        z = jnp.zeros((g, 1), jnp.uint32)
+        _, pa, _, _, pb, _ = jax.lax.fori_loop(
+            0, 32, body,
+            (mask_a.astype(jnp.float32), z, k_a,
+             mask_b.astype(jnp.float32), z, k_b),
+        )
+        return pa, pb
+
+    def median_pair(xa, mask_a, xb, mask_b):
+        """Masked medians of two fields sharing one radix descent loop.
+
+        ONE radix select finds each k_lo-th order statistic v; the
+        k_hi-th (n even) is then either v again (when duplicates of v
+        cover rank k_hi) or the smallest masked value strictly above v
+        — a single masked min, not a second descent.  Returns two
+        (med0, n) row-space column pairs (NaN-free: the group-head
+        extraction is a matmul and 0 * NaN = NaN would poison every
+        pulse in the tile; the empty-pulse NaN is applied after
+        extraction via the n column)."""
+        keys_a = _keys_from_f32(xa)
+        keys_b = _keys_from_f32(xb)
+        na = gsum(mask_a.astype(jnp.float32))
+        nb = gsum(mask_b.astype(jnp.float32))
+        k_lo = lambda n: jnp.maximum(jnp.floor((n - 1.0) / 2.0), 0.0)
+        pa, pb = select_kth_pair(keys_a, mask_a, k_lo(na),
+                                 keys_b, mask_b, k_lo(nb))
+
+        def finish(x, keys, mask, n, pref):
+            k_hi = jnp.maximum(jnp.floor(n / 2.0), 0.0)
+            lo = _f32_from_keys(pref)  # (g, 1)
+            cnt_le = gsum((mask & (keys <= pref)).astype(jnp.float32))
+            # min over {x : mask, key > v}; finite sentinel — masked
+            # roll reduction must never see inf (0 * inf = NaN).
+            big = jnp.float32(3.0e38)
+            cand = jnp.where(mask & (keys > pref), x, big)
+            nxt = gmin_col(jnp.min(cand, axis=1, keepdims=True), big)
+            hi = jnp.where(cnt_le > k_hi, lo, nxt)
+            med = 0.5 * (lo + hi)
+            return jnp.where(n > 0, med, 0.0), n  # (g, 1) x2
+
+        return (finish(xa, keys_a, mask_a, na, pa),
+                finish(xb, keys_b, mask_b, nb, pb))
+
+    return gsum, median_pair
 
 
 def _stats_kernel(live_sm, *refs,
@@ -245,118 +383,7 @@ def _stats_kernel(live_sm, *refs,
         # roll-chains over the column (cheap VPU ops on a 1-lane vector)
         # instead of EXPAND/SEL matmuls: the matmul formulation serialized a
         # VPU<->MXU ping-pong per radix bit, which dominated the kernel.
-        wcol = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
-        wcol = wcol - (wcol // rows) * rows  # row index within its group
-
-        def gsum_col(col):
-            """(g, 1) -> (g, 1): per-group total, replicated to the group.
-
-            Log-tree: a Hillis-Steele inclusive prefix within the group
-            followed by a doubling broadcast of the group-tail value —
-            2*ceil(log2(rows)) rolls instead of the 2*(rows-1) of the
-            naive chain."""
-            out = col
-            s = 1
-            while s < rows:
-                out = out + jnp.where(wcol >= s,
-                                      pltpu.roll(out, s, axis=0), 0.0)
-                s <<= 1
-            s = 1
-            while s < rows:
-                out = jnp.where(wcol + s <= rows - 1,
-                                pltpu.roll(out, g - s, axis=0), out)
-                s <<= 1
-            return out
-
-        def gmin_col(col, big):
-            out = col
-            s = 1
-            while s < rows:
-                out = jnp.minimum(
-                    out, jnp.where(wcol >= s, pltpu.roll(out, s, axis=0), big)
-                )
-                s <<= 1
-            s = 1
-            while s < rows:
-                out = jnp.where(wcol + s <= rows - 1,
-                                pltpu.roll(out, g - s, axis=0), out)
-                s <<= 1
-            return out
-
-        def gsum(x_f32):  # (g, LANES) -> (g, 1) group totals
-            return gsum_col(jnp.sum(x_f32, axis=1, keepdims=True))
-
-        def select_kth_pair(keys_a, mask_a, k_a, keys_b, mask_b, k_b):
-            """k-th smallest masked key per pulse for TWO independent
-            selections (magnitude and phase-diff medians) in one fori_loop
-            over the 32 bits — the chains have no data dependence on each
-            other, so interleaving them fills the VPU pipeline stalls of
-            each one's serial count->compare->narrow chain and halves the
-            loop-control overhead.  (A fully unrolled version blows the
-            Mosaic stack-VMEM budget.)  All per-pulse state (prefix,
-            remaining rank) stays in row space so the body is matmul-free;
-            live masks are carried as f32 0/1 — Mosaic cannot legalize i1
-            vector carries through scf.for."""
-
-            def body(i, carry):
-                la, pa, ka, lb, pb, kb = carry
-                bit = jnp.uint32(1) << (31 - i)
-                za = (keys_a & bit) == 0
-                zb = (keys_b & bit) == 0
-                ca = gsum(la * za.astype(jnp.float32))
-                cb = gsum(lb * zb.astype(jnp.float32))
-                ta = ka >= ca  # (g, 1) bool, uniform within a group
-                tb = kb >= cb
-                ka = jnp.where(ta, ka - ca, ka)
-                kb = jnp.where(tb, kb - cb, kb)
-                pa = jnp.where(ta, pa | bit, pa)
-                pb = jnp.where(tb, pb | bit, pb)
-                la = la * (za ^ ta).astype(jnp.float32)
-                lb = lb * (zb ^ tb).astype(jnp.float32)
-                return la, pa, ka, lb, pb, kb
-
-            z = jnp.zeros((g, 1), jnp.uint32)
-            _, pa, _, _, pb, _ = jax.lax.fori_loop(
-                0, 32, body,
-                (mask_a.astype(jnp.float32), z, k_a,
-                 mask_b.astype(jnp.float32), z, k_b),
-            )
-            return pa, pb
-
-        def median_pair(xa, mask_a, xb, mask_b):
-            """Masked medians of two fields sharing one radix descent loop.
-
-            ONE radix select finds each k_lo-th order statistic v; the
-            k_hi-th (n even) is then either v again (when duplicates of v
-            cover rank k_hi) or the smallest masked value strictly above v
-            — a single masked min, not a second descent.  Returns two
-            (med0, n) row-space column pairs (NaN-free: the group-head
-            extraction is a matmul and 0 * NaN = NaN would poison every
-            pulse in the tile; the empty-pulse NaN is applied after
-            extraction via the n column)."""
-            keys_a = _keys_from_f32(xa)
-            keys_b = _keys_from_f32(xb)
-            na = gsum(mask_a.astype(jnp.float32))
-            nb = gsum(mask_b.astype(jnp.float32))
-            k_lo = lambda n: jnp.maximum(jnp.floor((n - 1.0) / 2.0), 0.0)
-            pa, pb = select_kth_pair(keys_a, mask_a, k_lo(na),
-                                     keys_b, mask_b, k_lo(nb))
-
-            def finish(x, keys, mask, n, pref):
-                k_hi = jnp.maximum(jnp.floor(n / 2.0), 0.0)
-                lo = _f32_from_keys(pref)  # (g, 1)
-                cnt_le = gsum((mask & (keys <= pref)).astype(jnp.float32))
-                # min over {x : mask, key > v}; finite sentinel — masked
-                # roll reduction must never see inf (0 * inf = NaN).
-                big = jnp.float32(3.0e38)
-                cand = jnp.where(mask & (keys > pref), x, big)
-                nxt = gmin_col(jnp.min(cand, axis=1, keepdims=True), big)
-                hi = jnp.where(cnt_le > k_hi, lo, nxt)
-                med = 0.5 * (lo + hi)
-                return jnp.where(n > 0, med, 0.0), n  # (g, 1) x2
-
-            return (finish(xa, keys_a, mask_a, na, pa),
-                    finish(xb, keys_b, mask_b, nb, pb))
+        gsum, median_pair = _group_ops(rows, g)
 
         head = head_vm[...]  # (TILE, g) one-hot group-head selector
 
@@ -417,6 +444,157 @@ def _stats_kernel(live_sm, *refs,
     jax.lax.fori_loop(0, n_tiles, _loop, jnp.int32(0))
 
 
+def _stats_kernel_batched(batch_live_sm, tile_ids_sm, *refs,
+                          n_batches: int, nt: int, rows: int, window: int,
+                          t_len: int, with_sat: bool = True):
+    """Batched variant of :func:`_stats_kernel`: one ``fori_loop`` step
+    processes ``nt`` LIVE tiles at once — their windows stack into one
+    ``(nt*TILE*rows, LANES)`` scratch and ONE radix descent serves all of
+    them (see ``STATS_BATCH_TILES``).
+
+    ``tile_ids_sm`` is the prefetched compacted list of live tile indices,
+    padded with the index of an appended all-sentinel tile (every slot
+    ``toa = t_len``), so ragged final batches run uniform code: dead
+    segments gather clamped rows under all-false masks and store unused
+    zeros/NaNs at the sentinel tile's output slice (cropped by the
+    wrapper).  ``batch_live_sm[b]`` gates whole batches past the live
+    count.  Group arithmetic is :func:`_group_ops` — identical per-group
+    FLOPs to the per-tile kernel, so outputs are bit-identical."""
+    if with_sat:
+        (mag_hbm, dph_hbm, sat_hbm, toa_any, chan_any, toa_vm, te_vm,
+         expand_vm, head_vm, mag_out, dph_out, sat_out,
+         mag_buf, dph_buf, sat_buf, toa_sm, chan_sm, sems) = refs
+    else:
+        (mag_hbm, dph_hbm, toa_any, chan_any, toa_vm, te_vm,
+         expand_vm, head_vm, mag_out, dph_out,
+         mag_buf, dph_buf, toa_sm, chan_sm, sems) = refs
+        sat_hbm = sat_out = sat_buf = None
+    n_rows_total = mag_hbm.shape[1]
+    g = TILE * rows
+    g_all = nt * g
+
+    mag_out[...] = jnp.zeros_like(mag_out)
+    dph_out[...] = jnp.zeros_like(dph_out)
+    if with_sat:
+        sat_out[...] = jnp.zeros_like(sat_out)
+
+    streams = [(mag_hbm, mag_buf, 0), (dph_hbm, dph_buf, 1)]
+    if with_sat:
+        streams.append((sat_hbm, sat_buf, 2))
+
+    def _stage_copies(tid, j2):
+        off = pl.multiple_of(tid * TILE, TILE)
+        return [
+            pltpu.make_async_copy(
+                any_ref.at[:, pl.ds(off, TILE)], sm_ref.at[j2], sems.at[k]
+            )
+            for any_ref, sm_ref, k in ((toa_any, toa_sm, 3),
+                                       (chan_any, chan_sm, 4))
+        ]
+
+    def _slot_copies(j2, s):
+        c = chan_sm[j2, 0, s]
+        toa = toa_sm[j2, 0, s]
+        r0 = jnp.clip(toa // LANES, 0, n_rows_total - rows)
+        return [
+            pltpu.make_async_copy(
+                hbm.at[c, pl.ds(r0, rows), :],
+                buf.at[pl.ds((j2 * TILE + s) * rows, rows), :],
+                sems.at[k],
+            )
+            for hbm, buf, k in streams
+        ]
+
+    def _batch_body(b):
+        # Stage every segment's slot scalars, then issue all window DMAs.
+        for j2 in range(nt):
+            tid = tile_ids_sm[b * nt + j2]
+            for cp in _stage_copies(tid, j2):
+                cp.start()
+            for cp in _stage_copies(tid, j2):
+                cp.wait()
+            for s in range(TILE):
+                for cp in _slot_copies(j2, s):
+                    cp.start()
+
+        # Per-pulse toa/te columns for all nt segments (see _tile_body for
+        # the diagonal-mask + EXPAND-matmul construction).
+        diag = (jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1))
+        ones_col = jnp.ones((TILE, 1), jnp.float32)
+        expand = expand_vm[...]
+
+        def to_col(row_vm, off):
+            bb = ones_col * row_vm[0:1, pl.ds(off, TILE)]
+            return jnp.sum(jnp.where(diag, bb, 0.0), axis=1, keepdims=True)
+
+        toa_segs, te_segs = [], []
+        for j2 in range(nt):
+            tid = tile_ids_sm[b * nt + j2]
+            off = pl.multiple_of(tid * TILE, TILE)
+            toa_segs.append(_DOT(expand, to_col(toa_vm, off)))
+            te_segs.append(_DOT(expand, to_col(te_vm, off)))
+        toa_rows = jnp.concatenate(toa_segs, axis=0)  # (g_all, 1)
+        te_rows = jnp.concatenate(te_segs, axis=0)
+        r0_rows = jnp.clip(jnp.floor(toa_rows / LANES),
+                           0.0, float(n_rows_total - rows))
+
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (g_all, LANES), 0)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (g_all, LANES), 1)
+        within = (row_iota - (row_iota // rows) * rows).astype(jnp.float32)
+        idx = (r0_rows + within) * LANES + lane_iota.astype(jnp.float32)
+
+        plen = jnp.minimum(te_rows - toa_rows + 1.0, float(window))
+        pos = idx - toa_rows
+        in_any = (pos >= 0.0) & (idx < float(t_len))
+        m_mask = in_any & (pos < plen)
+        d_mask = in_any & (pos < plen - 1.0)
+        s_mask = in_any & (pos >= 1.0) & (pos < plen - 1.0)
+
+        for j2 in range(nt):
+            for s in range(TILE):
+                for cp in _slot_copies(j2, s):
+                    cp.wait()
+
+        gsum, median_pair = _group_ops(rows, g_all)
+        head = head_vm[...]  # (TILE, g) one-hot group-head selector
+
+        def to_row(col_seg):  # one segment's (g, 1) column -> (1, TILE)
+            vals = _DOT(head, col_seg)
+            return _DOT(jnp.ones((1, TILE), jnp.float32),
+                        jnp.where(diag, vals, 0.0))
+
+        def med_row(med_n, j2):
+            med0, n = med_n
+            seg = slice(j2 * g, (j2 + 1) * g)
+            return jnp.where(to_row(n[seg]) > 0.0, to_row(med0[seg]),
+                             jnp.float32(np.nan))
+
+        mag_mn, dph_mn = median_pair(mag_buf[...], m_mask,
+                                     dph_buf[...], d_mask)
+        if with_sat:
+            sat_col = gsum(jnp.where(s_mask, sat_buf[...], 0.0))
+
+        eight = jnp.ones((8, 1), jnp.float32)
+        for j2 in range(nt):
+            tid = tile_ids_sm[b * nt + j2]
+            off = pl.multiple_of(tid * TILE, TILE)
+            mag_out[pl.ds(0, 8), pl.ds(off, TILE)] = eight * med_row(mag_mn, j2)
+            dph_out[pl.ds(0, 8), pl.ds(off, TILE)] = eight * med_row(dph_mn, j2)
+            if with_sat:
+                seg = slice(j2 * g, (j2 + 1) * g)
+                sat_flag = jnp.where(sat_col[seg] > 0.5, 1.0, 0.0)
+                sat_out[pl.ds(0, 8), pl.ds(off, TILE)] = eight * to_row(sat_flag)
+
+    def _loop(b, carry):
+        @pl.when(batch_live_sm[b] > 0)
+        def _():
+            _batch_body(b)
+        return carry
+
+    jax.lax.fori_loop(0, n_batches, _loop, jnp.int32(0))
+
+
 def stats_kernel_feasible(t_len: int, window: int) -> bool:
     """Static-shape constraints of :func:`pulse_stats`.
 
@@ -454,12 +632,26 @@ def _pulse_stats_flat(
     t_len: int,
     gate_slots: bool = False,
     double_buffer: bool = False,
+    batch_tiles: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Dense-slot kernel driver shared by the 2-D and dense wrappers.
 
     ``t_len`` is the true capture length; the stream arrays may carry
     extra zero-padded columns beyond it (e.g. from the channel-major
-    transpose kernel's block grid) — masks and sentinels use ``t_len``."""
+    transpose kernel's block grid) — masks and sentinels use ``t_len``.
+    ``batch_tiles``: live tiles whose descents run as one batched group
+    reduction (0 = the ``STATS_BATCH_TILES`` default, 1 = the per-tile
+    kernel; >1 requires ``gate_slots``/``double_buffer`` off)."""
+    if batch_tiles == 0:
+        batch_tiles = STATS_BATCH_TILES
+    if gate_slots or double_buffer:
+        batch_tiles = 1
+    rows = (window + LANES - 1) // LANES + 1
+    # Scoped-VMEM cap: the batched descent carries ~8 (nt*TILE*rows, 128)
+    # f32 live arrays (~2 MB each at nt*rows=48); keep nt*rows bounded so
+    # wide windows stay under the measured-known-good 64 MB budget
+    # (rows=3 -> nt<=16, rows=9 -> nt<=5).
+    batch_tiles = min(batch_tiles, max(1, 48 // rows))
     with_sat = sat_cm is not None
     m, t_arr = mag_cm.shape
     p_orig = toa.shape[0]
@@ -469,6 +661,15 @@ def _pulse_stats_flat(
         toa = jnp.pad(toa, pad, constant_values=t_len)
         te = jnp.pad(te, pad, constant_values=t_len)
         chan = jnp.pad(chan, pad)
+    nt = min(batch_tiles, p_flat // TILE)
+    if nt > 1:
+        # Batched path: append one all-sentinel tile for ragged batches
+        # (see _stats_kernel_batched).
+        pad = (0, TILE)
+        toa = jnp.pad(toa, pad, constant_values=t_len)
+        te = jnp.pad(te, pad, constant_values=t_len)
+        chan = jnp.pad(chan, pad)
+        p_flat += TILE
     assert t_len <= t_arr, (t_len, t_arr)
     # Row-pad the time axis to whole 128-lane rows (mask excludes the pad).
     t_pad = (-t_arr) % LANES
@@ -479,13 +680,14 @@ def _pulse_stats_flat(
         if with_sat:
             sat_cm = jnp.pad(sat_cm, pad)
     t_stored = t_arr + t_pad
-    rows = (window + LANES - 1) // LANES + 1
     view = (m, t_stored // LANES, LANES)
     g = TILE * rows
     n_tiles = p_flat // TILE
 
+    n_real = n_tiles - 1 if nt > 1 else n_tiles  # exclude the sentinel tile
     live = jnp.max(
-        (toa < t_len).astype(jnp.int32).reshape(n_tiles, TILE), axis=1
+        (toa[: n_real * TILE] < t_len).astype(jnp.int32).reshape(
+            n_real, TILE), axis=1
     )
     # Row replicated 8x: TPU VMEM arrays need 8-divisible sublane dims, and
     # the in-kernel SMEM staging DMA needs full-sublane slices.
@@ -499,33 +701,68 @@ def _pulse_stats_flat(
     head = np.zeros((TILE, g), np.float32)  # one-hot group-head rows
     head[np.arange(TILE), np.arange(TILE) * rows] = 1.0
 
-    kernel = functools.partial(
-        _stats_kernel, n_tiles=n_tiles, rows=rows, window=window, t_len=t_len,
-        with_sat=with_sat, gate_slots=gate_slots, double_buffer=double_buffer,
-    )
     n_out = 3 if with_sat else 2
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # live flags only (~1 KB; SMEM ingress is slow)
-        grid=(1,),
-        in_specs=(
-            [any_spec] * (n_out + 2)      # streams + toa/chan (8, P) i32
-            + [vmem_spec] * 4             # toa/te f32, expand, head
-        ),
-        out_specs=[vmem_spec] * n_out,
-        scratch_shapes=(
-            ([pltpu.VMEM((2, g, LANES), jnp.float32)] * n_out
-             + [pltpu.SMEM((2, 8, TILE), jnp.int32),
-                pltpu.SMEM((2, 8, TILE), jnp.int32),
-                pltpu.SemaphoreType.DMA((2, 5))])
-            if double_buffer else
-            ([pltpu.VMEM((g, LANES), jnp.float32)] * n_out
-             + [pltpu.SMEM((8, TILE), jnp.int32),
-                pltpu.SMEM((8, TILE), jnp.int32),
-                pltpu.SemaphoreType.DMA((5,))])
-        ),
-    )
+    if nt > 1:
+        # Compact the live tile indices (same scatter-by-rank trick as
+        # dsp.pdw._edge_indices); pad with the sentinel tile's index.
+        n_batches = (n_real + nt - 1) // nt
+        rank = jnp.cumsum(live) - 1
+        rank = jnp.where(live > 0, rank, n_batches * nt)
+        tile_ids = jnp.full((n_batches * nt,), n_real, jnp.int32)
+        tile_ids = tile_ids.at[rank].set(
+            jnp.arange(n_real, dtype=jnp.int32), mode="drop")
+        n_live = jnp.sum(live)
+        batch_live = (jnp.arange(n_batches, dtype=jnp.int32) * nt
+                      < n_live).astype(jnp.int32)
+        kernel = functools.partial(
+            _stats_kernel_batched, n_batches=n_batches, nt=nt, rows=rows,
+            window=window, t_len=t_len, with_sat=with_sat,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # batch-live flags + live tile ids (~1 KB)
+            grid=(1,),
+            in_specs=(
+                [any_spec] * (n_out + 2)  # streams + toa/chan (8, P) i32
+                + [vmem_spec] * 4         # toa/te f32, expand, head
+            ),
+            out_specs=[vmem_spec] * n_out,
+            scratch_shapes=(
+                [pltpu.VMEM((nt * g, LANES), jnp.float32)] * n_out
+                + [pltpu.SMEM((nt, 8, TILE), jnp.int32),
+                   pltpu.SMEM((nt, 8, TILE), jnp.int32),
+                   pltpu.SemaphoreType.DMA((5,))]
+            ),
+        )
+        prefetch_args = (batch_live, tile_ids)
+    else:
+        kernel = functools.partial(
+            _stats_kernel, n_tiles=n_tiles, rows=rows, window=window,
+            t_len=t_len, with_sat=with_sat, gate_slots=gate_slots,
+            double_buffer=double_buffer,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # live flags only (~1 KB; SMEM ingress is slow)
+            grid=(1,),
+            in_specs=(
+                [any_spec] * (n_out + 2)      # streams + toa/chan (8, P) i32
+                + [vmem_spec] * 4             # toa/te f32, expand, head
+            ),
+            out_specs=[vmem_spec] * n_out,
+            scratch_shapes=(
+                ([pltpu.VMEM((2, g, LANES), jnp.float32)] * n_out
+                 + [pltpu.SMEM((2, 8, TILE), jnp.int32),
+                    pltpu.SMEM((2, 8, TILE), jnp.int32),
+                    pltpu.SemaphoreType.DMA((2, 5))])
+                if double_buffer else
+                ([pltpu.VMEM((g, LANES), jnp.float32)] * n_out
+                 + [pltpu.SMEM((8, TILE), jnp.int32),
+                    pltpu.SMEM((8, TILE), jnp.int32),
+                    pltpu.SemaphoreType.DMA((5,))])
+            ),
+        )
+        prefetch_args = (live,)
     stream_args = [mag_cm.reshape(view), dph_cm.reshape(view)]
     if with_sat:
         stream_args.append(sat_cm.reshape(view))
@@ -534,12 +771,12 @@ def _pulse_stats_flat(
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((8, p_flat), jnp.float32)] * n_out,
         # The merged dual-median descent carries two (g, LANES) live masks
-        # plus both key sets; at window=1024 (rows=9, g=1152) that tops the
-        # default 16 MB scoped-VMEM budget.  v5e has 128 MB VMEM — give the
-        # kernel real headroom.
+        # plus both key sets (x nt in the batched kernel, nt*rows <= 32);
+        # at window=1024 (rows=9, g=1152) that tops the default 16 MB
+        # scoped-VMEM budget.  v5e has 128 MB VMEM — give it real headroom.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(live, *stream_args,
+    )(*prefetch_args, *stream_args,
       toa_8, chan_8, toa_v, te_v, jnp.asarray(expand), jnp.asarray(head))
     if with_sat:
         mag_med, dph_med, sat_any = outs
@@ -551,7 +788,7 @@ def _pulse_stats_flat(
 @functools.partial(
     jax.jit,
     static_argnames=("window", "interpret", "t_len", "gate_slots",
-                     "double_buffer"),
+                     "double_buffer", "batch_tiles"),
 )
 def pulse_stats(
     mag_cm: jax.Array,   # (M, T) f32 channel-major magnitude
@@ -565,6 +802,7 @@ def pulse_stats(
     t_len: int | None = None,
     gate_slots: bool = False,
     double_buffer: bool = False,
+    batch_tiles: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Per-pulse (median mag, median dph, saturated) of shape (M, P_slots).
 
@@ -589,6 +827,7 @@ def pulse_stats(
         toa.reshape(-1), te.reshape(-1), chan.reshape(-1),
         window=window, interpret=interpret, t_len=t_len,
         gate_slots=gate_slots, double_buffer=double_buffer,
+        batch_tiles=batch_tiles,
     )
     return (mm.reshape(m, p_slots), dd.reshape(m, p_slots),
             ss.reshape(m, p_slots) if ss is not None else None)
@@ -597,7 +836,7 @@ def pulse_stats(
 @functools.partial(
     jax.jit,
     static_argnames=("window", "interpret", "t_len", "gate_slots",
-                     "double_buffer"),
+                     "double_buffer", "batch_tiles"),
 )
 def pulse_stats_dense(
     mag_cm: jax.Array,   # (M, T) f32 channel-major magnitude
@@ -612,6 +851,7 @@ def pulse_stats_dense(
     t_len: int | None = None,
     gate_slots: bool = False,
     double_buffer: bool = False,
+    batch_tiles: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Dense-list variant of :func:`pulse_stats`: one flat slot list
     mixing all channels, shape (P,) outputs.
@@ -628,4 +868,5 @@ def pulse_stats_dense(
         mag_cm, dph_cm, sat_cm, toa, te, chan,
         window=window, interpret=interpret, t_len=t_len,
         gate_slots=gate_slots, double_buffer=double_buffer,
+        batch_tiles=batch_tiles,
     )

@@ -202,7 +202,12 @@ def event_fit_png(
     event_time: Optional[float] = None,
     next_event_time: Optional[float] = None,
     title: Optional[str] = None,
+    fits: Optional[np.ndarray] = None,
 ) -> None:
+    """The ``predict_event.m:20-29,140-150`` live diagnostic as a PNG:
+    pulse samples (blue dots), the quadratic SNR(t) fit parabola, each
+    capture's fitted ``(t_max, y_max)`` peak (``fits``, red stars —
+    ``hCurrEventPlot``), and the current/next event markers."""
     plt = _plt()
     toa = np.asarray(toa, float)
     snr = np.asarray(snr, float)
@@ -212,6 +217,9 @@ def event_fit_png(
         c = np.polyfit(toa - toa.mean(), snr, 2)
         tt = np.linspace(toa.min(), toa.max(), 200)
         ax.plot(tt, np.polyval(c, tt - toa.mean()), "-", label="quadratic fit")
+    if fits is not None and np.asarray(fits).size:
+        f = np.asarray(fits, float).reshape(-1, 2)
+        ax.plot(f[:, 0], f[:, 1], "r*", ms=9, label="fitted events")
     if event_time is not None:
         ax.axvline(event_time, color="tab:green", ls="--", label="event")
     if next_event_time is not None:

@@ -188,3 +188,36 @@ def test_device_dwell_emitter_matches_radio_physics():
     reports = tr.run(12)
     assert sum(r.num_pulses for r in reports) > 0
     assert len(tr.events) > 0  # dwells spanning the beam peak fit events
+
+
+def test_device_dwell_emitter_stress_scenes():
+    """The round-5 tracker stress scenes (tools/tpu_tracker_drive.py):
+    a second emitter at a distinct PRI interleaves with the scanned one,
+    and an over-full-scale emitter trips the saturation -> gain-down
+    ladder on the device-emitter drive (usrp_predict_event.cpp:210-218)."""
+    from sdr_channelizer_tpu.capture import DeviceDwellEmitter
+
+    base = dict(sample_rate_sps=1e6, tone_offset_hz=0.13e6,
+                pulse_width_sec=10e-6, pri_sec=5e-3, gain_db=60.0,
+                rel_amplitude=0.9, noise_db=-55.0,
+                scan_period_sec=0.5, scan_phase_sec=0.1,
+                scan_curvature_db_per_s2=2000.0)
+
+    # Two-emitter scene: pulse count ~ dwell/pri1 + dwell/pri2.
+    two = DeviceDwellEmitter(**base, tone2_offset_hz=-0.09e6,
+                             pulse_width2_sec=15e-6, pri2_sec=3.3e-3,
+                             rel_amplitude2=0.2)
+    (xr, xi), _ = two.receive(100000, start_time=0.06)  # beam center
+    mag = np.hypot(np.asarray(xr), np.asarray(xi))
+    n_edges = int(np.sum((mag[1:] > 0.05) & (mag[:-1] <= 0.05)))
+    assert abs(n_edges - (0.1 / 5e-3 + 0.1 / 3.3e-3)) <= 3, n_edges
+
+    # Saturating scene: the tracker's gain ladder steps down until the
+    # ADC unclips, and the saturation counter fires on the drive.
+    sat = DeviceDwellEmitter(**{**base, "rel_amplitude": 2.0})
+    tr = EventTracker(radio=sat, dwell_sec=0.08)
+    tr.run(14)
+    assert tr.counters.get("saturation_events") > 0
+    assert sat.gain_db < 60.0  # the ladder actually stepped
+    (xr, xi), _ = sat.receive(50000, start_time=tr.radio._abs_index / 1e6 + 0.1)
+    # after the ladder settles near the beam peak the ADC no longer clips

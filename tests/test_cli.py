@@ -288,14 +288,21 @@ def test_spectrogram_and_plot_cmds(capture_file, tmp_path):
 
 def test_record_and_predict_cmds(tmp_path):
     rec = tmp_path / "rec"
-    rc = main(["record", "1000", "8", "2", "55", "0.01", "0.03", "0",
+    # gain 62 -> full-scale pulses: clears the predictor's 0.9 amplitude
+    # gate (predict_event.m:62) so the captures actually produce fits.
+    rc = main(["record", "1000", "8", "2", "62", "0.01", "0.03", "0",
                "--out-dir", str(rec), "--offset-mhz", "0.31",
                "--pw-us", "100", "--pri-us", "2000", "--noise-db", "-55"])
     assert rc == 0
     files = sorted(str(p) for p in rec.glob("*.iq"))
     assert len(files) == 3
-    rc = main(["predict", *files, "--max-pulse-samples", "4096"])
+    png = tmp_path / "fit.png"
+    rc = main(["predict", *files, "--max-pulse-samples", "4096",
+               "--png", str(png)])
     assert rc == 0
+    # The fit diagnostic renders with real pulse samples + fitted events
+    # (predict_event.m:140-150 parity) whenever a prediction was made.
+    assert png.exists()
 
 
 def test_gain_search_cmd(capsys):

@@ -222,6 +222,67 @@ def test_uhd_radio_setup_sequence_and_protocol(monkeypatch):
     assert ("stream_args", "sc8", "sc8") in log8
 
 
+def test_uhd_receive_error_code_switch(monkeypatch):
+    """The reference's streaming error-code switch
+    (``usrp_record_iq_12bit.cpp:201-218``): OVERFLOW counts and continues
+    when the dwell still arrived whole, TIMEOUT errors (and counts), other
+    codes error with the driver's strerror, and only whole dwells are ever
+    returned (drop-don't-corrupt, ``:220-227``)."""
+    import pytest
+
+    from sdr_channelizer_tpu.capture.hardware import DwellError
+
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    radio = UhdRadio(
+        frequency_hz=1e9, sample_rate_sps=1e6, bandwidth_hz=0.8e6,
+        gain_db=66.0, bit_width=12, driver=_fake_uhd([]),
+    )
+
+    class _ScriptedStream:
+        """recv() plays back (error_code, fraction_received) pairs using
+        the numeric rx_metadata_t values (none 0x0, timeout 0x1,
+        late 0x2, overflow 0x8)."""
+
+        def __init__(self, script):
+            self.script = list(script)
+
+        def issue_stream_cmd(self, cmd):
+            self._t0 = cmd.time_spec.get_real_secs()
+
+        def recv(self, buf, meta, timeout=0.0):
+            err, frac = self.script.pop(0)
+            n = int(buf.shape[-1] * frac)
+            buf[0, :n] = 0.001 + 0j
+            meta.time_spec = _TimeSpec(self._t0)
+            meta.error_code = err
+            if err == 0x2:
+                meta.strerror = lambda: "ERROR_CODE_LATE_COMMAND"
+            return n
+
+    radio.rx_stream = _ScriptedStream(
+        [(0x8, 1.0), (0x8, 0.5), (0x1, 0.0), (0x2, 0.25), (0x0, 1.0)]
+    )
+    # Overflow with a whole dwell: counted, data returned (the reference's
+    # fall-through writes the packet).
+    iq, _ = radio.receive(1000)
+    assert radio.overruns == 1 and len(iq) == 1000
+    # Overflow with a short dwell: counted AND dropped.
+    with pytest.raises(DwellError) as e:
+        radio.receive(1000)
+    assert e.value.code == "overflow" and radio.overruns == 2
+    # Timeout: counted and dropped.
+    with pytest.raises(DwellError) as e:
+        radio.receive(1000)
+    assert e.value.code == "timeout" and radio.timeouts == 1
+    # Any other code: the reference logs strerror() (:215-217).
+    with pytest.raises(DwellError) as e:
+        radio.receive(1000)
+    assert e.value.code == "other" and "LATE_COMMAND" in str(e.value)
+    # The radio keeps working after errors (the loop continues).
+    iq, _ = radio.receive(1000)
+    assert len(iq) == 1000 and radio.overruns == 2 and radio.timeouts == 1
+
+
 def test_gain_search_and_tracker_run_unchanged_on_uhd(monkeypatch):
     """The reference control loops consume the hardware backend through the
     same protocol as the emulator — no special-casing anywhere."""
@@ -442,7 +503,7 @@ def test_hardware_py_uses_only_declared_vendor_names():
         "device_args", "clock_source", "subdev", "antenna", "overruns",
         "board_name", "serial_number", "fpga_version", "fw_version",
         "link_speed", "_gain_db", "_t0_ticks", "_epoch0", "_has_meta",
-        "real", "imag",
+        "real", "imag", "overruns", "timeouts", "code",
     }
     tree = ast.parse(inspect.getsource(hardware))
     seen = set()

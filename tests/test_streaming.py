@@ -277,6 +277,42 @@ def test_measure_noise_floor_exact(capture):
         StreamingExtractor(chan, cfg).measure_noise_floor(lambda: iter(()))
 
 
+def test_noise_floor_device_counts_match_host(capture):
+    """The counts-only device reduction (round-5: ~4 KB/block-level d2h
+    instead of the full magnitude fetch) picks the identical order
+    statistics as the host two-pass histogram, even/odd counts, and
+    respects the residency cap fallback."""
+    chan = Channelizer.create(M)
+    cfg = PdwConfig.channelized(max_pulses=32, max_pulse_samples=256)
+    ext = StreamingExtractor(chan, cfg, block_frames=1024)
+
+    for n_frames in (4096, 4095):
+        iq = capture[: n_frames * M]
+        y = np.abs(np.asarray(channelize(jnp.asarray(iq), chan)))
+
+        def dev_blocks(y=y):
+            for k in range(0, len(y), 1000):
+                yield jnp.asarray(y[k:k + 1000])
+
+        got = ext._noise_floor_device(dev_blocks)
+        np.testing.assert_array_equal(
+            got, np.median(y, axis=0).astype(np.float32))
+        assert ext.counters.snapshot()["counters"][
+            "nf_device_count_d2h_bytes"] > 0
+
+    # Past the residency budget the method declines (caller falls back).
+    ext2 = StreamingExtractor(chan, cfg, block_frames=1024)
+    ext2._NF_RESIDENT_CAP_BYTES = 64
+
+    def one_block():
+        yield jnp.ones((16, M), jnp.float32)
+
+    assert ext2._noise_floor_device(one_block) is None
+
+    with pytest.raises(ValueError, match="empty sample stream"):
+        ext._noise_floor_device(lambda: iter(()))
+
+
 def test_short_block_warnings():
     """Blocks shorter than the detection halo warn instead of silently
     breaking the bit-exact stitching contract (ADVICE r1)."""

@@ -1,4 +1,4 @@
-"""Multi-chip scaling evidence without multi-chip hardware (SCALING_r04).
+"""Multi-chip scaling evidence without multi-chip hardware (SCALING_r05).
 
 Real multi-chip is unavailable in this environment (one v5e behind a
 single-client tunnel), so the ≥80% samples/s scaling target (BASELINE.md,
@@ -25,8 +25,26 @@ v5e has 4 ICI links/chip at 400 Gbps full-duplex each (~45 GB/s/dir per
 link, public figures); ring collectives over a 1-D time axis; ~2 us
 per-hop latency (conservative for small transfers).
 
+Round-5 additions (VERDICT r4 weak #5 / next #6):
+
+4. **Strong scaling**: the FIXED bench capture split across chips.  Per
+   shard the streams kernel computes its own frames PLUS the halo
+   (re-derived locally from the raw-frame halo exchange), so the halo
+   fraction grows as shards shrink; the latch all-gather payload grows
+   with n.  The curve reports the knee where halo recompute + collective
+   latency eat the parallel speedup.
+
+5. **Sensitivity bands**: every efficiency is also evaluated at hop
+   latency {2, 5, 10} us and ICI bandwidth {45, 22.5} GB/s/dir — the
+   stated-assumption band instead of a single point.
+
+6. **DCN ingest term** (parallel/multihost.py): per-step packed-capture
+   bytes / (hosts x DCN bandwidth), reported both overlapped (the
+   streaming pipeline double-buffers the next step's ingest) and
+   serialized (worst case).
+
 Run on CPU (the script pins the platform itself — safe alongside a TPU
-process).  Writes SCALING_r04.json.
+process).  Writes SCALING_r05.json.
 """
 import json
 import os
@@ -58,6 +76,8 @@ def log(*a):
 
 ICI_GBPS_PER_DIR = 45.0  # GB/s per direction per link (assumption, v5e)
 HOP_LATENCY_US = 2.0     # per collective hop (assumption, small transfers)
+DCN_GBPS_PER_HOST = 25.0  # GB/s per host NIC (assumption, stated band below)
+CHIPS_PER_HOST = 4        # v5e host topology assumption
 
 
 def collective_bytes(n_time, n_chan, t_loc, m, p, halo, nf_passes,
@@ -96,14 +116,14 @@ def collective_bytes(n_time, n_chan, t_loc, m, p, halo, nf_passes,
     return out
 
 
-def ici_time_s(n_time, inv):
+def ici_time_s(n_time, inv, bw_gbps=None, hop_us=None):
     """Ring-collective time: bandwidth term + latency term.
 
     ppermute = 1 hop; all-reduce/all-gather over a ring = (n-1) hops.  All
     payloads here are KB-scale, so the latency term dominates.
     """
-    bw = ICI_GBPS_PER_DIR * 1e9
-    lat = HOP_LATENCY_US * 1e-6
+    bw = (ICI_GBPS_PER_DIR if bw_gbps is None else bw_gbps) * 1e9
+    lat = (HOP_LATENCY_US if hop_us is None else hop_us) * 1e-6
     t = 0.0
     t += inv["fir_history_ppermute"]["bytes"] / bw + lat
     t += inv["raw_halo_ppermute"]["bytes"] / bw + lat
@@ -140,21 +160,55 @@ def count_collectives(n_time, n_chan, frames_per_shard=256, m=16):
     return counts
 
 
+def strong_step_ms(t1_ms, n_time, frames, halo, m, p, nf_passes,
+                   bw_gbps=None, hop_us=None):
+    """Fixed-capture (strong-scaling) step model.
+
+    Compute: the per-shard streams kernel runs over own + halo frames and
+    every downstream stage over own frames, so compute scales as
+    (frames/n + halo) / frames of the single-chip step (the halo is
+    re-derived locally from the raw-frame exchange —
+    parallel/pipeline.py:_build_channelize_local_fused2).  Collectives:
+    same inventory as weak scaling except the latch all-gather payload
+    grows with n (2 * n * M_loc floats) and per-shard T shrinks.
+    """
+    inv = collective_bytes(n_time, 1, frames // n_time, m, p, halo,
+                           nf_passes)
+    t_coll = 0.0 if n_time == 1 else ici_time_s(
+        n_time, inv, bw_gbps=bw_gbps, hop_us=hop_us)
+    t_comp = t1_ms * (frames / n_time + (halo if n_time > 1 else 0)) / frames
+    return t_comp + t_coll * 1e3, t_comp, t_coll * 1e3
+
+
+def dcn_ingest_ms(n_chips, frames, m, bytes_per_sample=4,
+                  dcn_gbps=DCN_GBPS_PER_HOST, chips_per_host=CHIPS_PER_HOST):
+    """Per-step packed-capture ingest over DCN (parallel/multihost.py):
+    each host reads + ships only its own time shards' dwell files, so the
+    per-host payload is total/hosts; with the weak-scaling workload the
+    per-host payload is constant (chips_per_host shards' worth)."""
+    hosts = max(1, n_chips // chips_per_host)
+    total_bytes = frames * m * bytes_per_sample * n_chips  # weak: per-chip T
+    return total_bytes / hosts / (dcn_gbps * 1e9) * 1e3
+
+
 def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    # Measured single-chip step (ms): prefer PROBE_r04's cm2 dense number,
-    # fall back to BENCH_r03.
+    # Measured single-chip step (ms): prefer the newest corrected-protocol
+    # artifact (BENCH_r05 if the driver has produced it, else PROBE_r05,
+    # else the round-4 numbers).
     t1_ms, t1_src = None, None
-    probe = os.path.join(repo, "PROBE_r04.json")
-    if os.path.exists(probe):
-        res = json.load(open(probe)).get("results", {})
-        # F_* = corrected out-of-flat-region protocol (KSWEEP_r04.json);
-        # A_* under-reports (K1 inside the transport flat region).
-        for key in ("F_cm2_dense_ms", "A_cm2_dense_ms"):
-            if key in res:
-                t1_ms, t1_src = res[key], f"PROBE_r04.json:{key}"
-                break
+    for fname, keys in (
+        ("PROBE_r05.json", ("B_b7_full_ms", "A_both_dense_ms")),
+        ("PROBE_r04.json", ("F_cm2_dense_ms", "A_cm2_dense_ms")),
+    ):
+        path = os.path.join(repo, fname)
+        if t1_ms is None and os.path.exists(path):
+            res = json.load(open(path)).get("results", {})
+            for key in keys:
+                if key in res:
+                    t1_ms, t1_src = res[key], f"{fname}:{key}"
+                    break
     assert t1_ms is not None
 
     # Bench workload per chip (weak scaling): the headline shape.
@@ -177,6 +231,65 @@ def main():
         })
         log(f"n={n_time:3d}: +{t_coll*1e3:7.4f} ms ICI -> "
             f"eff {t1_ms/tn_ms*100:6.2f}%")
+
+    # Strong scaling: the FIXED bench capture split across chips.
+    strong = []
+    for n_time in (1, 2, 4, 8, 16, 32):
+        if frames % n_time:
+            continue
+        tn, t_comp, t_ici = strong_step_ms(
+            t1_ms, n_time, frames, halo, m, p, nf_passes)
+        ideal = t1_ms / n_time
+        strong.append({
+            "n_chips": n_time,
+            "step_ms": round(tn, 3),
+            "compute_ms": round(t_comp, 3),
+            "ici_ms": round(t_ici, 4),
+            "speedup": round(t1_ms / tn, 2),
+            "efficiency_vs_ideal": round(ideal / tn, 4),
+            "halo_fraction_of_compute": round(
+                (halo if n_time > 1 else 0) / (frames / n_time + halo), 4),
+        })
+        log(f"strong n={n_time:3d}: {tn:7.3f} ms (ideal {ideal:6.3f}) "
+            f"eff {ideal/tn*100:6.2f}%")
+    # The knee: the first point where efficiency-vs-ideal drops under 0.8.
+    knee = next((r["n_chips"] for r in strong
+                 if r["efficiency_vs_ideal"] < 0.8), None)
+
+    # Sensitivity band over the stated ICI assumptions (weak + strong).
+    sensitivity = []
+    for hop_us in (2.0, 5.0, 10.0):
+        for bw in (45.0, 22.5):
+            row = {"hop_latency_us": hop_us, "ici_gbps_per_dir": bw}
+            for n in (8, 32):
+                inv = collective_bytes(n, 1, frames, m, p, halo, nf_passes)
+                t_coll = ici_time_s(n, inv, bw_gbps=bw, hop_us=hop_us)
+                row[f"weak_eff_n{n}"] = round(
+                    t1_ms / (t1_ms + t_coll * 1e3), 4)
+                tn, _, _ = strong_step_ms(t1_ms, n, frames, halo, m, p,
+                                          nf_passes, bw_gbps=bw,
+                                          hop_us=hop_us)
+                row[f"strong_eff_n{n}"] = round((t1_ms / n) / tn, 4)
+            sensitivity.append(row)
+            log(f"sens hop={hop_us}us bw={bw}GB/s: {row}")
+
+    # DCN ingest (multi-host): per-step packed bytes / host NIC.
+    step_ms_n8 = t1_ms  # weak-scaling step at the modeled efficiency ~1
+    dcn = {
+        "assumption_gbps_per_host": DCN_GBPS_PER_HOST,
+        "chips_per_host": CHIPS_PER_HOST,
+        "per_host_bytes_per_step": frames * m * 4 * CHIPS_PER_HOST,
+        "ingest_ms_per_step": round(
+            dcn_ingest_ms(8, frames, m) , 3),
+        "overlapped": "the streaming layer double-buffers the next "
+                      "block's host reads (dsp/streaming.py), so ingest "
+                      "hides under compute when ingest_ms <= step_ms",
+        "hides_under_step": dcn_ingest_ms(8, frames, m) <= step_ms_n8,
+        "band_12p5_gbps_ingest_ms": round(
+            dcn_ingest_ms(8, frames, m, dcn_gbps=12.5), 3),
+    }
+    log(f"dcn: {dcn['ingest_ms_per_step']} ms/step per host "
+        f"(step {step_ms_n8} ms) hides={dcn['hides_under_step']}")
 
     log("lowering virtual-mesh HLO for collective counts...")
     hlo_counts = {}
@@ -203,15 +316,19 @@ def main():
         "single_chip_source": t1_src,
         "collective_inventory_n8": collective_bytes(
             8, 1, frames, m, p, halo, nf_passes),
-        "projected_efficiency": curve,
+        "projected_efficiency_weak": curve,
+        "projected_strong_scaling": strong,
+        "strong_scaling_knee_chips": knee,
+        "sensitivity_band": sensitivity,
+        "dcn_ingest": dcn,
         "target": ">=0.80 samples/s scaling efficiency (BASELINE.md)",
         "meets_target_at_32_chips":
             curve[-1]["samples_per_sec_scaling_efficiency"] >= 0.80,
         "hlo_collective_counts": hlo_counts,
     }
-    with open(os.path.join(repo, "SCALING_r04.json"), "w") as f:
+    with open(os.path.join(repo, "SCALING_r05.json"), "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
-    log("wrote SCALING_r04.json")
+    log("wrote SCALING_r05.json")
 
 
 if __name__ == "__main__":

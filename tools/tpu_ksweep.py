@@ -1,12 +1,23 @@
 """Decisive per-step calibration: wall time of ONE dispatch running K
 in-graph iterations, swept over many DISTINCT K values, slope = per-step.
 
-Every dispatch is unique (different K), so the transport's
-identical-dispatch elision cannot fire; the least-squares slope over K
-removes the per-dispatch fence/dispatch constant without differencing two
-noisy readings.  Residuals around the fit quantify the jitter band.
+Transport model (KSWEEP_r04 lesson): wall(K) = max(rtt, K*step + c) — the
+device execution OVERLAPS the ~0.43 s round trip, so any point with
+K*step < rtt sits in the FLAT region and biases a straight-line fit low
+(the round-2/3 under-reporting; the round-4 committed sweep itself still
+fitted through flat points, VERDICT r4 weak #2).  This sweep therefore
 
-Writes KSWEEP_r04.json with slopes for the dense and sparse bench payloads.
+* pilots the step first (the bench geometric pilot) and places EVERY
+  fitted K so K*step >= 2.5x the measured transport floor — in that
+  region the max() model IS the straight line being fitted;
+* also records a few deliberately-flat points, excluded from the fit, so
+  the committed artifact shows the knee;
+* runs the bench's own differencing protocol (bench._graph_time) on the
+  same payload in the same session and reports the percent gap between
+  the two estimators — the round-5 "witnesses agree" artifact.
+
+Config = the exact shipped bench config (same ctor as bench.py).
+Writes KSWEEP_r05.json.
 """
 import json
 import os
@@ -24,7 +35,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-from bench import _make_capture, _quantize
+from bench import _graph_time, _make_capture, _quantize
 from sdr_channelizer_tpu.config import PdwConfig
 from sdr_channelizer_tpu.models.pipeline import ChannelizerPipeline
 from sdr_channelizer_tpu.utils.profiling import sync_device
@@ -48,42 +59,78 @@ payloads = {
 @jax.jit
 def run(K, q):
     def body(_, carry):
-        salt = jnp.isnan(carry).astype(jnp.int32)
+        salt = jnp.isnan(carry[0]).astype(jnp.int32)
         nf, _, batch = pipe.forward_packed(q.at[0].set(q[0] ^ salt),
                                            bit_width=12)
         tot = (jnp.sum(nf) + jnp.sum(batch.mag) + jnp.sum(batch.snr_db)
                + jnp.sum(batch.toa_idx.astype(jnp.float32)))
-        return carry * 0.5 + tot
+        return carry[0] * 0.5 + tot, jnp.sum(batch.count).astype(jnp.float32)
 
-    return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+    return jax.lax.fori_loop(0, K, body, (jnp.float32(0),) * 2)
+
+
+def timed(q, k):
+    t0 = time.perf_counter()
+    sync_device(run(k, q)[0])
+    return time.perf_counter() - t0
 
 
 results = {}
-ks = [5, 15, 25, 45, 65, 85, 105, 125, 10, 35, 55, 95]
 for name, q in payloads.items():
-    sync_device(run(3, q))  # compile + warm
-    rows = []
-    for K in ks:
-        t0 = time.perf_counter()
-        sync_device(run(K, q))
-        wall = time.perf_counter() - t0
-        rows.append((K, wall))
-        log(f"{name}: K={K:4d}  wall={wall*1e3:8.1f} ms")
-    karr = np.array([r[0] for r in rows], float)
-    warr = np.array([r[1] for r in rows], float)
+    sync_device(run(3, q)[0])  # compile + warm
+    t_floor = timed(q, 4)
+    # Geometric pilot out of the flat region (bench.py protocol).
+    pk, t_pilot = 16, timed(q, 16)
+    while t_pilot < 1.6 * t_floor and pk < 4000:
+        pk *= 2
+        t_pilot = timed(q, pk)
+    s_est = t_pilot / pk
+    k_min = max(8, int(2.5 * t_floor / s_est) + 1)
+    k_max = min(int(8.0 / s_est), 4000)  # ~8 s device-time dispatch cap
+    ks_fit = sorted({int(k) for k in np.linspace(k_min, max(k_min + 8, k_max),
+                                                 10)})
+    ks_flat = sorted({4, 8, max(4, k_min // 4)})
+    log(f"{name}: floor {t_floor*1e3:.0f} ms, pilot {s_est*1e3:.2f} ms/step, "
+        f"fit Ks {ks_fit} (flat Ks {ks_flat})")
+
+    rows_fit, rows_flat = [], []
+    for K in ks_fit + ks_flat:
+        wall = timed(q, K)
+        (rows_fit if K in ks_fit else rows_flat).append((K, wall))
+        log(f"{name}: K={K:4d}  wall={wall*1e3:8.1f} ms"
+            + ("" if K in ks_fit else "  [flat, excluded]"))
+    karr = np.array([r[0] for r in rows_fit], float)
+    warr = np.array([r[1] for r in rows_fit], float)
     slope, intercept = np.polyfit(karr, warr, 1)
     resid = warr - (slope * karr + intercept)
+
+    # Same-session bench-protocol estimate on the same payload/program.
+    bench_dt, bench_ests, _ = _graph_time(
+        lambda K, qq: run(K, qq), (q,), iters=120, reps=2)
+    gap_pct = (bench_dt - slope) / slope * 100.0
+
     results[name] = {
         "per_step_ms": round(slope * 1e3, 3),
         "intercept_ms": round(intercept * 1e3, 1),
         "resid_rms_ms": round(float(np.sqrt(np.mean(resid ** 2))) * 1e3, 1),
-        "points": [[int(k), round(w * 1e3, 1)] for k, w in rows],
+        "transport_floor_ms": round(t_floor * 1e3, 1),
+        "k_min_fit": int(min(karr)),
+        "points_fit": [[int(k), round(w * 1e3, 1)] for k, w in rows_fit],
+        "points_flat_excluded": [[int(k), round(w * 1e3, 1)]
+                                 for k, w in rows_flat],
+        "bench_protocol_ms": round(bench_dt * 1e3, 3),
+        "bench_reps_ms": [round(e * 1e3, 3) for e in bench_ests],
+        "sweep_vs_bench_gap_pct": round(gap_pct, 2),
     }
-    log(f"{name}: slope {slope*1e3:.3f} ms/step, intercept "
-        f"{intercept*1e3:.0f} ms, resid rms {np.sqrt(np.mean(resid**2))*1e3:.1f} ms")
+    log(f"{name}: slope {slope*1e3:.3f} ms/step (resid rms "
+        f"{np.sqrt(np.mean(resid**2))*1e3:.1f} ms), bench protocol "
+        f"{bench_dt*1e3:.3f} ms -> gap {gap_pct:+.2f}%")
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-with open(os.path.join(repo, "KSWEEP_r04.json"), "w") as f:
+with open(os.path.join(repo, "KSWEEP_r05.json"), "w") as f:
     json.dump({"shape": {"bands": BANDS, "frames": FRAMES},
+               "config": "shipped bench config (identical ctor to bench.py)",
+               "model": "wall(K) = max(rtt, K*step + c); every fitted K "
+                        "placed so K*step >= 2.5x the transport floor",
                "results": results}, f, indent=1, sort_keys=True)
-log("wrote KSWEEP_r04.json")
+log("wrote KSWEEP_r05.json")

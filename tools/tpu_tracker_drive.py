@@ -24,7 +24,20 @@ approximates what a co-located host would see.  "Real-time" = extract p95
 below the dwell duration (the reference receives continuously; processing
 must keep up with the dwell rate).
 
-Single TPU process only (single-client tunnel).  Writes TRACKER_r04.json.
+Round-5 stress scenes (VERDICT r4 next #4 — the r4 artifacts all ran a
+~2-pulses-per-dwell scanning beam, the easiest regime) via TRACKER_SCENE:
+
+* ``scan``  — the r4 baseline scanning beam (default);
+* ``dense`` — PRI 0.5 ms -> ~160 pulses per 80 ms dwell hitting the fit;
+* ``sat``   — emitter 6 dB over full scale: saturation_events > 0 and the
+  reference's gain-down-1dB ladder (usrp_predict_event.cpp:210-218)
+  actually steps on the TPU drive until the ADC unclips;
+* ``two``   — a second steady emitter at a distinct PRI/tone interleaved
+  with the scanned one (the median-PRI predictor's behavior under
+  multi-emitter TOA streams).
+
+Single TPU process only (single-client tunnel).
+Writes TRACKER_r05_<scene>[_<fs>M].json.
 """
 import json
 import os
@@ -50,12 +63,13 @@ def main():
     fs = float(os.environ.get("TRACKER_FS", 56e6))
     dwell_sec = float(os.environ.get("TRACKER_DWELL", 0.08))
     n_dwells = int(os.environ.get("TRACKER_DWELLS", 20))
+    scene = os.environ.get("TRACKER_SCENE", "scan")
 
     dev = jax.devices()[0]
-    log("device:", dev.platform, dev.device_kind)
+    log("device:", dev.platform, dev.device_kind, "scene:", scene)
 
     period = 0.5
-    radio = DeviceDwellEmitter(
+    kw = dict(
         sample_rate_sps=fs,
         tone_offset_hz=5e6 * (fs / 56e6),
         pulse_width_sec=10e-6,
@@ -67,6 +81,22 @@ def main():
         scan_phase_sec=0.1,
         scan_curvature_db_per_s2=2000.0,
     )
+    if scene == "dense":
+        # ~160 pulses per 80 ms dwell all hitting the mean-amp extractor
+        # and the quadratic fit (reference loop ingests them all).
+        kw.update(pri_sec=0.5e-3)
+    elif scene == "sat":
+        # 6 dB over full scale: every beam-center dwell clips until the
+        # gain ladder has stepped the ADC back under 0.9999.
+        kw.update(rel_amplitude=2.0)
+    elif scene == "two":
+        # Second steady emitter, distinct PRI + tone, 14 dB below FS.
+        kw.update(tone2_offset_hz=-3.1e6 * (fs / 56e6),
+                  pulse_width2_sec=15e-6, pri2_sec=3.3e-3,
+                  rel_amplitude2=0.2)
+    elif scene != "scan":
+        raise SystemExit(f"unknown TRACKER_SCENE {scene!r}")
+    radio = DeviceDwellEmitter(**kw)
 
     recv_dispatch = []
     orig_receive = radio.receive
@@ -111,7 +141,7 @@ def main():
     log(f"gen_device (synced, minus fence): {gen_dev*1e3:.1f} ms")
 
     recv_dispatch.clear()
-    totals, extracts, pulses = [], [], []
+    totals, extracts, pulses, gains = [], [], [], []
     tracker.events.clear()
     tracker.next_event_time = None
     for k in range(n_dwells):
@@ -122,9 +152,11 @@ def main():
         totals.append(total)
         extracts.append(extract)
         pulses.append(rep.num_pulses)
+        gains.append(float(radio.gain_db))
         log(f"dwell {k:2d}: total {total*1e3:7.1f} ms  "
             f"recv-dispatch {recv_dispatch[-1]*1e3:6.1f}  "
             f"extract {extract*1e3:7.1f}  pulses {rep.num_pulses:4d}  "
+            f"gain {radio.gain_db:5.1f}  sat={rep.saturated}  "
             f"next={rep.next_event_time}")
 
     def stats(xs):
@@ -146,13 +178,16 @@ def main():
         "first_dwell_incl_compile_s": round(compile_s, 1),
         "total": stats(totals),
         "extract": stats(extracts),
-        "extract_minus_fence": {
-            "p50_ms": round((np.percentile(extracts, 50) - fence) * 1e3, 1),
-            "p95_ms": round((extract_p95 - fence) * 1e3, 1),
-        },
+        # (a round-4 "extract_minus_fence" field — p50 minus a larger
+        # constant — carried no information and was dropped per VERDICT r4
+        # weak #6; keeps_up_raw / tunnel_fence_ms tell the story.)
         "gen_device_synced_ms": round(gen_dev * 1e3, 1),
         "gen_under_dwell": gen_dev < dwell_sec,
+        "scene": scene,
         "pulses_per_dwell_p50": float(np.median(pulses)),
+        "pulses_per_dwell_max": int(np.max(pulses)),
+        "gain_db_trace": gains,
+        "gain_steps_taken": int(round(gains[0] - min(gains))),
         "events_fitted": int(len(ev)),
         "scan_period_recovered": bool(len(ev) > 3
                                       and float(np.median(err)) < 0.02),
@@ -165,8 +200,8 @@ def main():
         if hasattr(tracker.counters, "snapshot") else None,
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    name = ("TRACKER_r04.json" if abs(fs - 56e6) < 1
-            else f"TRACKER_r04_{int(round(fs / 1e6))}M.json")
+    name = (f"TRACKER_r05_{scene}.json" if abs(fs - 56e6) < 1
+            else f"TRACKER_r05_{scene}_{int(round(fs / 1e6))}M.json")
     with open(os.path.join(repo, name), "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
     log(f"wrote {name}")
