@@ -647,9 +647,9 @@ def _pulse_stats_flat(
     if gate_slots or double_buffer:
         batch_tiles = 1
     rows = (window + LANES - 1) // LANES + 1
-    # Scoped-VMEM cap: the batched descent carries ~8 (nt*TILE*rows, 128)
-    # f32 live arrays (~2 MB each at nt*rows=48); keep nt*rows bounded so
-    # wide windows stay under the measured-known-good 64 MB budget
+    # Scoped-VMEM cap: the batched descent peaks at ~12 KB of scoped VMEM
+    # per scratch row (measured: nt*rows=45 compiled to 70.4 MB on v5e),
+    # so nt*rows <= 48 stays inside the 100 MB scoped limit below
     # (rows=3 -> nt<=16, rows=9 -> nt<=5).
     batch_tiles = min(batch_tiles, max(1, 48 // rows))
     with_sat = sat_cm is not None
@@ -770,11 +770,12 @@ def _pulse_stats_flat(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((8, p_flat), jnp.float32)] * n_out,
-        # The merged dual-median descent carries two (g, LANES) live masks
-        # plus both key sets (x nt in the batched kernel, nt*rows <= 32);
-        # at window=1024 (rows=9, g=1152) that tops the default 16 MB
-        # scoped-VMEM budget.  v5e has 128 MB VMEM — give it real headroom.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        # The merged dual-median descent carries ~a dozen (g_all, LANES)
+        # live arrays; the batched kernel at nt*rows=45 measured 70.4 MB of
+        # scoped VMEM (v5e compile log), over the round-4 64 MB setting.
+        # v5e has 128 MB VMEM — 100 MB leaves room for the pipeline buffers.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*prefetch_args, *stream_args,
       toa_8, chan_8, toa_v, te_v, jnp.asarray(expand), jnp.asarray(head))
