@@ -66,8 +66,18 @@ _STATS_DB = False       # double-buffered stats-kernel window DMAs
 # is now neutral but kept — it was -0.6 on the v1 shapes).
 _RANK_BLOCK = 256
 # Stats-kernel descent batching (0 = the kernel's STATS_BATCH_TILES
-# default, 1 = per-tile descents — the round-4 form; probe A/B knob).
-_STATS_BATCH = 0
+# default, 1 = per-tile descents).  Round-5 A/B (PROBE_r05 A): batching
+# LOST end-to-end (+0.45 ms dense, +0.17 sparse at nt=8) — the descent is
+# THROUGHPUT-bound on the (g, LANES) masked counting passes, not
+# latency-bound as the round-4 part-J reading suggested, so stacking
+# tiles buys nothing and pays scratch-locality overhead.  Default stays
+# per-tile; the batched kernel remains for the knob/record.
+_STATS_BATCH = 1
+# Extra short tier at window=128 (rows=2 instead of 3): pulses up to 128
+# samples span at most two 128-lane rows, so their windows carry 33% less
+# descent data.  The bench's real dense pulses are 44-88 channelized
+# frames wide — nearly all short-tier content fits.  A/B knob.
+_TIER_W128 = True
 
 
 @jax.tree_util.register_dataclass
@@ -802,13 +812,29 @@ def _extract_channelized_pallas_stats(
     )
 
 
+# Noise floor via the VMEM-resident Pallas kernel (one HBM read + bits=2
+# levels) instead of the XLA 8-pass bits=4 descent; A/B knob (round 5).
+_NF_KERNEL = True
+
+
 def noise_floor_cm(mag_cm: jax.Array, m: int, t_len: int,
                    bits: int = 4) -> jax.Array:
     """Per-channel median noise floor from the channel-major magnitude
     stream (``create_pdws_channelized.m:73`` semantics — exact median over
-    the whole capture).  Pad columns past ``t_len`` are masked out; the
-    select path uses the ``bits``-per-pass value-space descent (8 HBM
-    passes at bits=4 instead of 32)."""
+    the whole capture).  Pad columns past ``t_len`` are masked out.
+
+    Sort-free (TPU) backends take the VMEM-resident Pallas kernel
+    (``ops/pallas/nf_kernel.py``: ONE read of the stream instead of one
+    per radix level) when the shape allows; otherwise the ``bits``-per-pass
+    XLA value-space descent.  Both pick identical order statistics."""
+    r8 = ((m + 7) // 8) * 8
+    if (_NF_KERNEL and medians.use_sort_free() and t_len < (1 << 24)
+            and mag_cm.shape[0] >= r8):
+        from sdr_channelizer_tpu.ops.pallas.nf_kernel import (
+            pallas_noise_floor_cm,
+        )
+
+        return pallas_noise_floor_cm(mag_cm[:r8], t_len=t_len)[:m]
     rows = mag_cm[:m]
     if mag_cm.shape[1] == t_len:
         return medians.median(rows, axis=1, bits=bits)
@@ -946,8 +972,19 @@ def _extract_channelized_cm2(
     sentinel = jnp.int32(t_len)
     if w > sw and stats_kernel_feasible(t_len, sw):
         is_tiny = closed & (plen <= 2)
-        is_short = closed & ~is_tiny & (plen <= sw)
+        # Optional rows=2 sub-tier: closed pulses <= 128 samples (the vast
+        # majority of real channelized pulses) descend over (2, 128)-row
+        # windows instead of (3, 128) — see _TIER_W128.
+        use_w128 = _TIER_W128 and sw > 128 and tier_mode != "compact"
+        if use_w128:
+            is_s128 = closed & ~is_tiny & (plen <= 128)
+            is_short = closed & ~is_tiny & ~is_s128 & (plen <= sw)
+        else:
+            is_s128 = None
+            is_short = closed & ~is_tiny & (plen <= sw)
         is_long = valid_slot & ~is_tiny & ~is_short
+        if use_w128:
+            is_long = is_long & ~is_s128
 
         if tier_mode == "compact":
             # v1-style flat cross-channel compaction (cumsum rank + drop
@@ -1009,6 +1046,10 @@ def _extract_channelized_cm2(
                                 jnp.where(is_short, s_mag, l_mag))
             med_dph = jnp.where(is_tiny, tiny_dph,
                                 jnp.where(is_short, s_dph, l_dph))
+            if use_w128:
+                s128_mag, s128_dph = tier(is_s128, 128)
+                med_mag = jnp.where(is_s128, s128_mag, med_mag)
+                med_dph = jnp.where(is_s128, s128_dph, med_dph)
     else:
         med_mag, med_dph, _ = pulse_stats(
             mag_cm, dph_cm, None, toa_idx, te_idx, window=w, t_len=t_len,

@@ -305,10 +305,27 @@ def run_part_d():
             pdwmod.noise_floor_cm = orig_nf
 
 
+def run_part_e():
+    """Round-5 second-wave knobs, each toggled off the shipped defaults
+    (tf on, per-tile descents, w128 tier on, VMEM-resident nf kernel on):
+    E.ship = all defaults; E.no_w128; E.no_nfk."""
+    set_knobs(True, 1)
+    for tag, w128, nfk in (("ship", True, True), ("no_w128", False, True),
+                           ("no_nfk", True, False)):
+        pdwmod._TIER_W128 = w128
+        pdwmod._NF_KERNEL = nfk
+        for label, q in (("dense", xq_dense), ("sparse", xq_sparse)):
+            dt = graph_time(f"E.{tag}_{label}", full_route(), q)
+            results[f"E_{tag}_{label}_ms"] = round(dt * 1e3, 3)
+    pdwmod._TIER_W128 = True
+    pdwmod._NF_KERNEL = True
+
+
 PARTS = os.environ.get("PROBE_PARTS", "AB").upper()
 t_all = time.time()
 for part, runner in (("A", run_part_a), ("B", run_part_b),
-                     ("C", run_part_c), ("D", run_part_d)):
+                     ("C", run_part_c), ("D", run_part_d),
+                     ("E", run_part_e)):
     if part in PARTS:
         log(f"=== part {part} ===")
         runner()

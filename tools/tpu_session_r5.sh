@@ -51,7 +51,8 @@ probe)
   PROBE_PARTS=AB run_step probe_r5_ab 4200 python tools/tpu_probe_r5.py
   ;;
 sweep)
-  PROBE_PARTS=CD run_step probe_r5_cd 2400 python tools/tpu_probe_r5.py
+  PROBE_PARTS=E run_step probe_r5_e 3000 python tools/tpu_probe_r5.py
+  PROBE_PARTS=D run_step probe_r5_d 1800 python tools/tpu_probe_r5.py
   ;;
 bench)
   run_step bench 3000 python bench.py
