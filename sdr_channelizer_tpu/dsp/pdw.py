@@ -54,10 +54,15 @@ from sdr_channelizer_tpu.config import PdwConfig
 from sdr_channelizer_tpu.ops import medians
 from sdr_channelizer_tpu.ops.medians import masked_median
 
-# Pulses at or below this many samples take the cheap 3-row stats kernel;
+# Pulses at or below this many samples take the cheap 2-row stats kernel;
 # longer ones take the full max_pulse_samples-window kernel (see
-# _extract_channelized_pallas_stats).
-_SHORT_WINDOW = 256
+# _extract_channelized_pallas_stats).  128 (round 5): a <=128-sample pulse
+# spans at most TWO 128-lane rows from any alignment, and real channelized
+# pulses are overwhelmingly that short — the 3-tier {tiny, 128, long}
+# split measured faster than both the r4 {tiny, 256, long} (10.31 vs
+# 11.97 ms dense) and the 4-tier {tiny, 128, 256, long} (10.49) on v5e
+# (PROBE_r05 E/F/G).
+_SHORT_WINDOW = 128
 # v2-route tuning knobs (A/B'd full-graph in tools/tpu_probe_r4.py part H).
 _PIN_EDGES = True       # optimization barrier on the rank-search outputs
 _STATS_DB = False       # double-buffered stats-kernel window DMAs
@@ -73,11 +78,15 @@ _RANK_BLOCK = 256
 # tiles buys nothing and pays scratch-locality overhead.  Default stays
 # per-tile; the batched kernel remains for the knob/record.
 _STATS_BATCH = 1
-# Extra short tier at window=128 (rows=2 instead of 3): pulses up to 128
-# samples span at most two 128-lane rows, so their windows carry 33% less
-# descent data.  The bench's real dense pulses are 44-88 channelized
-# frames wide — nearly all short-tier content fits.  A/B knob.
-_TIER_W128 = True
+# Extra sub-tier at window=128 below _SHORT_WINDOW (only active when
+# _SHORT_WINDOW > 128): the intermediate 4-tier form measured +0.18 ms
+# over the 3-tier _SHORT_WINDOW=128 default (PROBE_r05 G) — kept as a
+# knob for configs whose pulse mix wants a mid window.
+_TIER_W128 = False
+# Merge the tiny/saturation per-slot picks into two two-index gathers
+# (mag at [toa|te], satcs at [te-1|toa]) instead of four single-index
+# gathers — halves the gather-op count on the (M, T) streams.  A/B knob.
+_MERGED_PICKS = True
 
 
 @jax.tree_util.register_dataclass
@@ -953,8 +962,15 @@ def _extract_channelized_cm2(
     # measured SLOWER end-to-end on v5e — dense +0.34 ms, sparse
     # +2.7 ms: its 7 gather passes cost more than the live-tile savings
     # (round-3 lesson again: composition beats micro-reasoning).
-    mag_a = jnp.take_along_axis(mag_cm[:m], safe_toa, axis=1)
-    mag_b = jnp.take_along_axis(mag_cm[:m], safe_te, axis=1)
+    p_cols = toa_idx.shape[1]
+    if _MERGED_PICKS:
+        # One two-index gather per stream (same picks, half the gather ops).
+        mg = jnp.take_along_axis(
+            mag_cm[:m], jnp.concatenate([safe_toa, safe_te], axis=1), axis=1)
+        mag_a, mag_b = mg[:, :p_cols], mg[:, p_cols:]
+    else:
+        mag_a = jnp.take_along_axis(mag_cm[:m], safe_toa, axis=1)
+        mag_b = jnp.take_along_axis(mag_cm[:m], safe_te, axis=1)
     tiny_mag = jnp.where(plen >= 2, 0.5 * (mag_a + mag_b), mag_a)
     tiny_dph = jnp.where(
         plen >= 2, jnp.take_along_axis(dph_cm[:m], safe_toa, axis=1),
@@ -963,9 +979,16 @@ def _extract_channelized_cm2(
     # Saturation from the cumsum: interior samples toa+1 .. te-1 have count
     # S[te-1] - S[toa] (S inclusive) — exact for every tier incl. tiny
     # (plen <= 2 has an empty interior and the difference is 0).
-    s_hi = jnp.take_along_axis(satcs_cm[:m], jnp.maximum(safe_te - 1, 0),
-                               axis=1)
-    s_lo = jnp.take_along_axis(satcs_cm[:m], safe_toa, axis=1)
+    if _MERGED_PICKS:
+        sg = jnp.take_along_axis(
+            satcs_cm[:m],
+            jnp.concatenate([jnp.maximum(safe_te - 1, 0), safe_toa], axis=1),
+            axis=1)
+        s_hi, s_lo = sg[:, :p_cols], sg[:, p_cols:]
+    else:
+        s_hi = jnp.take_along_axis(satcs_cm[:m], jnp.maximum(safe_te - 1, 0),
+                                   axis=1)
+        s_lo = jnp.take_along_axis(satcs_cm[:m], safe_toa, axis=1)
     sat_any = (s_hi - s_lo) > 0.5
 
     sw = _SHORT_WINDOW

@@ -60,6 +60,36 @@ DFT_PRECISION = jax.lax.Precision.HIGHEST
 # ``transpose_first=None`` as this value.
 CM2_TRANSPOSE_FIRST = True
 
+# MXU identity-transpose precision: the HIGHEST f32 matmul costs ~6 bf16
+# passes; a 3-limb Dekker split (a = hi + mid + lo with 8-bit-mantissa
+# limbs, each multiplied by the exactly-representable 0/1 identity and
+# accumulated in f32) reconstructs every NORMAL f32 exactly in 3 passes:
+# each limb product is exact, hi+mid spans <= 18 mantissa bits (exact),
+# and the final add's true sum IS the original representable value, so
+# round-to-nearest returns it bit-exactly.  Values below ~2^-110 would
+# lose limb bits to bf16 subnormal flushing — the TPU flushes f32
+# subnormals anyway, and the detection streams are dequantized Q11/Q7
+# data far above that range.  Shipped on: -0.17 ms dense / -0.26 sparse
+# full-graph on v5e (PROBE_r05 G).
+TRANSPOSE_LIMB3 = True
+
+
+def _flip_tile(a, eye):
+    """(128, m_pad) tile -> (m_pad, 128) via identity matmul (see
+    TRANSPOSE_LIMB3 for the 3-pass exact mode)."""
+    if TRANSPOSE_LIMB3:
+        hi = a.astype(jnp.bfloat16)
+        r1 = a - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        eye_b = eye.astype(jnp.bfloat16)
+        d = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return d(hi, eye_b) + d(mid, eye_b) + d(lo, eye_b)
+    return _TDOT(a, eye)
+
 # Grid time-block cap of the cm2 streams kernels (frames per grid step).
 # Swept full-graph in tools/tpu_probe_r4.py part I: 4096 is -0.2 ms/step
 # vs 1024 at M=64 (fewer grid-sequencing steps).  The per-call default
@@ -425,7 +455,7 @@ def _streams_kernel(xr_ref, xi_ref, taps_ref, wr_ref, wi_ref,
 
         def flip(blk_tm):  # (n_ext, m_pad) -> (m_pad, n_ext)
             tiles = [
-                _TDOT(blk_tm[k * 128 : (k + 1) * 128, :], eye)
+                _flip_tile(blk_tm[k * 128 : (k + 1) * 128, :], eye)
                 for k in range(n_ext // 128)
             ]
             return jnp.concatenate(tiles, axis=1)

@@ -274,7 +274,7 @@ def build_prefixes(nf_bits=4, t_blk=2048):
 
 
 def run_part_b():
-    set_knobs(True, 0)
+    set_knobs(True, 1)  # the shipped defaults (per-tile descents)
     prev = 0.0
     for name, fn in build_prefixes():
         dt = graph_time("B." + name, fn, xq_dense)
@@ -321,11 +321,68 @@ def run_part_e():
     pdwmod._NF_KERNEL = True
 
 
+def run_part_f():
+    """Tail knobs at the round-5 ship config: merged picks, latch t_blk,
+    rank-search block."""
+    set_knobs(True, 1)
+    import sdr_channelizer_tpu.ops.pallas.latch_kernel as lk
+
+    for tag, merged in (("ship2", True), ("no_merge", False)):
+        pdwmod._MERGED_PICKS = merged
+        dt = graph_time(f"F.{tag}_dense", full_route(), xq_dense)
+        results[f"F_{tag}_dense_ms"] = round(dt * 1e3, 3)
+    pdwmod._MERGED_PICKS = True
+
+    orig_latch = lk.pallas_latch_cumsums_cm
+    for t_blk in (1024, 4096):
+        def patched(mag_cm, lead, trail, m_real, t_blk=t_blk, **kw):
+            return orig_latch(mag_cm, lead, trail, m_real, t_blk=t_blk, **kw)
+        lk.pallas_latch_cumsums_cm = patched
+        try:
+            dt = graph_time(f"F.latch{t_blk}_dense", full_route(), xq_dense)
+            results[f"F_latch{t_blk}_dense_ms"] = round(dt * 1e3, 3)
+        finally:
+            lk.pallas_latch_cumsums_cm = orig_latch
+
+    for rb in (128,):
+        pdwmod._RANK_BLOCK = rb
+        dt = graph_time(f"F.rb{rb}_dense", full_route(), xq_dense)
+        results[f"F_rb{rb}_dense_ms"] = round(dt * 1e3, 3)
+    pdwmod._RANK_BLOCK = 256
+
+
+def run_part_g():
+    """Third-wave knobs: 3-limb exact transpose (half the flip passes),
+    the 3-tier alternative (short window 128, no separate 256 tier), and
+    an 8192-frame streams-kernel grid block."""
+    set_knobs(True, 1)
+    ck.TRANSPOSE_LIMB3 = True
+    for label, q in (("dense", xq_dense), ("sparse", xq_sparse)):
+        dt = graph_time(f"G.limb3_{label}", full_route(), q)
+        results[f"G_limb3_{label}_ms"] = round(dt * 1e3, 3)
+    ck.TRANSPOSE_LIMB3 = False
+
+    orig_sw, orig_w128 = pdwmod._SHORT_WINDOW, pdwmod._TIER_W128
+    pdwmod._SHORT_WINDOW, pdwmod._TIER_W128 = 128, False
+    try:
+        for label, q in (("dense", xq_dense), ("sparse", xq_sparse)):
+            dt = graph_time(f"G.tier3_{label}", full_route(), q)
+            results[f"G_tier3_{label}_ms"] = round(dt * 1e3, 3)
+    finally:
+        pdwmod._SHORT_WINDOW, pdwmod._TIER_W128 = orig_sw, orig_w128
+
+    ck.CM2_BLOCK_FRAMES = 8192
+    dt = graph_time("G.bf8192_dense", full_route(), xq_dense)
+    results["G_bf8192_dense_ms"] = round(dt * 1e3, 3)
+    ck.CM2_BLOCK_FRAMES = 4096
+
+
 PARTS = os.environ.get("PROBE_PARTS", "AB").upper()
 t_all = time.time()
 for part, runner in (("A", run_part_a), ("B", run_part_b),
                      ("C", run_part_c), ("D", run_part_d),
-                     ("E", run_part_e)):
+                     ("E", run_part_e), ("F", run_part_f),
+                     ("G", run_part_g)):
     if part in PARTS:
         log(f"=== part {part} ===")
         runner()
