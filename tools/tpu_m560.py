@@ -157,7 +157,7 @@ for (f0, pw, pri, amp, s0), spec, want in zip(TRAINS, specs, truth_counts):
     sel = (np.abs(p["freq"] - f0) < 0.6 * bin_hz) & (p["snr"] > 15)
     got = int(sel.sum())
     pw_med = float(np.median(p["pw"][sel])) if got else 0.0
-    sat_frac = float(np.mean(p["saturated"][sel])) if got else 0.0
+    sat_frac = float(np.mean(p["sat"][sel])) if got else 0.0
     # tiny transients at tier boundaries can split a pulse in adjacent
     # bins; require exact count in the train's own bin.
     ok = got == want and abs(pw_med - pw) < 0.35 * pw
@@ -169,7 +169,7 @@ for (f0, pw, pri, amp, s0), spec, want in zip(TRAINS, specs, truth_counts):
     log(f"train {f0/1e6:+7.2f} MHz pw {pw*1e6:7.1f} us: {got}/{want} "
         f"pulses, pw_med {pw_med*1e6:.1f} us, sat {sat_frac:.2f} "
         f"{'OK' if ok else 'MISS'}")
-sat_total = int(np.sum(p["saturated"]))
+sat_total = int(np.sum(p["sat"]))
 results["truth_m560_rich"] = {
     "total_pulses_recovered": int(len(p["toa"])),
     "truth_total": sum(truth_counts),
