@@ -83,17 +83,26 @@ def main():
     )
     if scene == "dense":
         # ~160 pulses per 80 ms dwell all hitting the mean-amp extractor
-        # and the quadratic fit (reference loop ingests them all).
-        kw.update(pri_sec=0.5e-3)
+        # and the quadratic fit (reference loop ingests them all).  The
+        # pulse width shrinks with the PRI: the reference's noise floor is
+        # the dwell MEAN (usrp_predict_event.cpp:288), so duty must stay
+        # low enough that 100x mean (20 dB) clears the beam amplitude —
+        # at 2% duty the floor self-raises past full scale and NOTHING
+        # detects (faithful behavior, measured on the first r5 drive).
+        kw.update(pri_sec=0.5e-3, pulse_width_sec=2e-6)
     elif scene == "sat":
         # 6 dB over full scale: every beam-center dwell clips until the
         # gain ladder has stepped the ADC back under 0.9999.
         kw.update(rel_amplitude=2.0)
     elif scene == "two":
-        # Second steady emitter, distinct PRI + tone, 14 dB below FS.
+        # Second steady emitter, distinct PRI + tone.  Amplitude must
+        # clear 100x the (mean) floor it raises itself: 0.6 at 0.24% duty
+        # keeps threshold ~0.3 -> both emitters detect, the second in
+        # EVERY dwell (the interleaved-TOA stream the median-PRI
+        # predictor must survive).
         kw.update(tone2_offset_hz=-3.1e6 * (fs / 56e6),
-                  pulse_width2_sec=15e-6, pri2_sec=3.3e-3,
-                  rel_amplitude2=0.2)
+                  pulse_width2_sec=8e-6, pri2_sec=3.3e-3,
+                  rel_amplitude2=0.6)
     elif scene != "scan":
         raise SystemExit(f"unknown TRACKER_SCENE {scene!r}")
     radio = DeviceDwellEmitter(**kw)
