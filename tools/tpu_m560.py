@@ -113,6 +113,11 @@ def touch(*xs):
 # short, 4/6 ms long (> 256 frames), 20 us tiny-short boundary.  The
 # amp-2.0 train clips the ADC -> saturated flags.  PRIs are co-prime-ish
 # so pulses interleave across the capture.
+# The saturating train clips GENTLY (1.02x full scale): the first drive
+# used 2.0x and the hard limiter suppressed every other signal during its
+# bursts (capture effect), fragmenting their pulses — physically faithful
+# ADC behavior, but useless as a counting truth.  1.02 still trips the
+# 0.9999 saturation flags without wrecking the band.
 TRAINS = [
     # (freq_hz, pw_sec, pri_sec, amp, start_index)
     (7.30e6, 4.0e-3, 12.0e-3, 0.30, 3001),
@@ -120,7 +125,7 @@ TRAINS = [
     (19.92e6, 15e-6, 2.3e-3, 0.50, 8117),
     (-24.55e6, 1.0e-3, 7.7e-3, 0.15, 100003),
     (3.14e6, 6.0e-3, 17.0e-3, 0.25, 260007),
-    (13.71e6, 20e-6, 3.9e-3, 2.00, 50021),   # clips: saturation coverage
+    (13.71e6, 20e-6, 3.9e-3, 1.02, 50021),   # clips: saturation coverage
 ]
 
 
@@ -158,9 +163,12 @@ for (f0, pw, pri, amp, s0), spec, want in zip(TRAINS, specs, truth_counts):
     got = int(sel.sum())
     pw_med = float(np.median(p["pw"][sel])) if got else 0.0
     sat_frac = float(np.mean(p["sat"][sel])) if got else 0.0
-    # tiny transients at tier boundaries can split a pulse in adjacent
-    # bins; require exact count in the train's own bin.
-    ok = got == want and abs(pw_med - pw) < 0.35 * pw
+    # Exact count in the train's own bin.  PW is only checkable for
+    # pulses longer than the polyphase filter span (~14 frames = 140 us
+    # at 0.1 MHz bins): shorter pulses are legitimately broadened by the
+    # channelizer's impulse response.
+    pw_ok = pw < 150e-6 or abs(pw_med - pw) < 0.35 * pw
+    ok = got == want and pw_ok
     ok_all &= ok
     train_stats.append({
         "freq_mhz": f0 / 1e6, "pw_us": pw * 1e6, "amp": amp,
@@ -232,10 +240,14 @@ if "OP" in PARTS:
 
 if "KNOBS" in PARTS:
     knob_results = {}
-    # streams-kernel block size at m_pad=640
-    for bf in (512, 1024, 2048):
-        dt = graph_time(f"m560_bf{bf}", lambda q: fwd(q, bf), q_dense)
-        knob_results[f"block_frames_{bf}_ms"] = round(dt * 1e3, 2)
+    # streams-kernel block size at m_pad=640 (2048 measured infeasible:
+    # 104 MB of scoped VMEM with the transpose-first look-ahead)
+    for bf in (512, 1024):
+        try:
+            dt = graph_time(f"m560_bf{bf}", lambda q: fwd(q, bf), q_dense)
+            knob_results[f"block_frames_{bf}_ms"] = round(dt * 1e3, 2)
+        except Exception as e:  # infeasible point: record, keep sweeping
+            knob_results[f"block_frames_{bf}_error"] = str(e)[:120]
     # transpose-first off (r4 form) at this shape
     ck.CM2_TRANSPOSE_FIRST = False
     dt = graph_time("m560_tf_off", fwd, q_dense)
