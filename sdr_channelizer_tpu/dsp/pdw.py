@@ -933,7 +933,11 @@ def _extract_channelized_cm2(
         skip = jnp.zeros((2 * r,), jnp.float32).at[r:r + m].set(
             entry_active.astype(jnp.float32))
         ranks = ranks + skip[:, None]
-    idx = find_ranks_cm(packed, ranks, t_len, block=_RANK_BLOCK)
+    # Rank-search block: 256 measured best at the 128-row M=64 shape,
+    # 128 best at the 1120-row M=560 shape (-0.61 ms, M560_r05 knobs) —
+    # more cumsum rows favor smaller partial blocks.
+    rb = _RANK_BLOCK if packed.shape[0] <= 256 else min(_RANK_BLOCK, 128)
+    idx = find_ranks_cm(packed, ranks, t_len, block=rb)
     toa_idx = idx[:m]
     te_idx = idx[r:r + m]
     # Leads within the owned region (ranks past n_own point into the halo;

@@ -99,6 +99,16 @@ def _flip_tile(a, eye):
 CM2_BLOCK_FRAMES = 4096
 
 
+def _tf_wins(m: int, m_pad: int) -> bool:
+    """Shape heuristic for the transpose-first form: it halves the
+    elementwise stream math only when the real channel rows are a small
+    fraction of the lane pad, and costs an extra 128 look-ahead rows of
+    FIR/DFT either way.  Measured crossover on v5e (PROBE_r05 A vs
+    M560_r05 knobs): M=64/m_pad=128 (ratio 0.5) wins -0.36 ms; M=560/
+    m_pad=640 (ratio 0.875) loses +0.28 ms."""
+    return (((m + 7) // 8) * 8) * 5 <= m_pad * 3
+
+
 def _default_cm2_block(n_frames: int, m_pad: int) -> int:
     cap = CM2_BLOCK_FRAMES if m_pad <= 128 else 1024
     b = 256
@@ -766,7 +776,7 @@ def pallas_channelize_streams_packed_cm2(
     if block_frames is None:
         block_frames = _default_cm2_block(n_frames, m_pad)
     if transpose_first is None:
-        transpose_first = CM2_TRANSPOSE_FIRST
+        transpose_first = CM2_TRANSPOSE_FIRST and _tf_wins(m, m_pad)
 
     fr = xq[..., : n_frames * m].reshape(n_frames, m)
     n_pad = (-n_frames) % block_frames
@@ -820,7 +830,7 @@ def pallas_channelize_streams_cm2(
     if block_frames is None:
         block_frames = _default_cm2_block(n_frames, m_pad)
     if transpose_first is None:
-        transpose_first = CM2_TRANSPOSE_FIRST
+        transpose_first = CM2_TRANSPOSE_FIRST and _tf_wins(m, m_pad)
 
     extra = 128 if transpose_first else 8
 
