@@ -169,13 +169,17 @@ for (f0, pw, pri, amp, s0), spec, want in zip(TRAINS, specs, truth_counts):
     sum_pw = float(np.sum(p["pw"][sel])) if got else 0.0
     want_on = want * pw
     sat_frac = float(np.mean(p["sat"][sel])) if got else 0.0
-    # On-time conservation in the train's own bin (robust to limiter
-    # fragmentation, see TRAINS note) + count lower bound.  Sub-filter-
-    # span pulses (< ~14 frames) are legitimately broadened by the
-    # channelizer impulse response, so their on-time floor is the
-    # filter span per pulse.
+    # On-time conservation in the train's +-0.6-bin frequency window
+    # (robust to limiter fragmentation, see TRAINS note) + count lower
+    # bound.  Upper band 2.3x: a tone on/near a bin EDGE is detected in
+    # BOTH adjacent bins with the SAME PDW frequency estimate (the
+    # -24.55 MHz train sits exactly on an edge and doubles) — the
+    # reference channelized extractor has no dedup either
+    # (create_pdws_channelized.m emits per-bin).  Sub-filter-span pulses
+    # (< ~14 frames) broaden to the channelizer impulse response, hence
+    # the 160 us/pulse floor.
     min_on = want_on * 0.8
-    max_on = max(want_on * 1.25, want * 160e-6)
+    max_on = 2.3 * max(want_on, want * 160e-6)
     ok = got >= want and min_on <= sum_pw <= max_on
     ok_all &= ok
     train_stats.append({
