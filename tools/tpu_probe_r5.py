@@ -377,12 +377,58 @@ def run_part_g():
     ck.CM2_BLOCK_FRAMES = 4096
 
 
+def run_part_h():
+    """Decompose the b4 (tiny/sat) marginal: which of its pieces —
+    barrier+masks, the three stream gathers, or the count/valid tail —
+    carries the ~1.9 ms.  Prefixes share the b3 base."""
+    set_knobs(True, 1)
+    m, t_len = BANDS, FRAMES
+
+    def base(q):
+        mag_cm, dph_cm, satcs = stage_streams(q)
+        nf = stage_nf(mag_cm)
+        packed = stage_latch(mag_cm, nf)
+        toa, te = stage_edges(packed, t_len)
+        toa, te = jax.lax.optimization_barrier((toa, te))
+        return mag_cm, dph_cm, satcs, nf, toa, te
+
+    def h0(q):  # + masks/plen only (no gathers)
+        mag_cm, dph_cm, satcs, nf, toa, te = base(q)
+        plen = te - toa + 1
+        closed = (toa < t_len) & (te < t_len)
+        is_tiny = closed & (plen <= 2)
+        return touch(mag_cm, dph_cm, satcs, nf, toa, te, plen, is_tiny)
+
+    def h1(q):  # + ONE stream gather (mag at toa)
+        mag_cm, dph_cm, satcs, nf, toa, te = base(q)
+        safe_toa = jnp.minimum(toa, t_len - 1)
+        g1 = jnp.take_along_axis(mag_cm[:m], safe_toa, axis=1)
+        return touch(mag_cm, dph_cm, satcs, nf, toa, te, g1)
+
+    def h2(q):  # + all five picks (merged form)
+        mag_cm, dph_cm, satcs, nf, toa, te = base(q)
+        safe_toa = jnp.minimum(toa, t_len - 1)
+        safe_te = jnp.minimum(te, t_len - 1)
+        mg = jnp.take_along_axis(
+            mag_cm[:m], jnp.concatenate([safe_toa, safe_te], axis=1), axis=1)
+        dg = jnp.take_along_axis(dph_cm[:m], safe_toa, axis=1)
+        sg = jnp.take_along_axis(
+            satcs[:m],
+            jnp.concatenate([jnp.maximum(safe_te - 1, 0), safe_toa], axis=1),
+            axis=1)
+        return touch(mag_cm, dph_cm, satcs, nf, toa, te, mg, dg, sg)
+
+    for name, fn in (("h0_masks", h0), ("h1_1gather", h1), ("h2_5picks", h2)):
+        dt = graph_time("H." + name, fn, xq_dense)
+        results["H_" + name + "_ms"] = round(dt * 1e3, 3)
+
+
 PARTS = os.environ.get("PROBE_PARTS", "AB").upper()
 t_all = time.time()
 for part, runner in (("A", run_part_a), ("B", run_part_b),
                      ("C", run_part_c), ("D", run_part_d),
                      ("E", run_part_e), ("F", run_part_f),
-                     ("G", run_part_g)):
+                     ("G", run_part_g), ("H", run_part_h)):
     if part in PARTS:
         log(f"=== part {part} ===")
         runner()
