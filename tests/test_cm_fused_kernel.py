@@ -160,6 +160,39 @@ def test_cm2_kernel_streams_match_cm():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_cm2_transpose_first_and_tier_knobs(monkeypatch):
+    """The non-default knob settings (transpose-last form, the 4-tier
+    w128 split, per-tile vs batched descents) all emit bit-identical
+    batches — they are speed A/B points, never semantics."""
+    from sdr_channelizer_tpu.models.pipeline import ChannelizerPipeline
+    from sdr_channelizer_tpu.ops.pallas import channelizer_kernel as ck
+
+    samples = _capture(11)
+    pipe = ChannelizerPipeline.create(M, pdw_cfg=CFG)
+    xq = jnp.asarray(np.ascontiguousarray(samples).view(np.int32).ravel())
+    monkeypatch.setattr(medians, "use_sort_free", lambda: True)
+
+    def run():
+        _, _, b = pipe.forward_packed(xq, bit_width=12, route="cm2")
+        return {k: np.asarray(getattr(b, k))
+                for k in ("toa_idx", "te_idx", "mag", "snr_db",
+                          "freq_offset_hz", "saturated", "valid", "count")}
+
+    ref = run()
+    assert ref["count"].sum() > 0
+    monkeypatch.setattr(ck, "CM2_TRANSPOSE_FIRST", False)
+    tl = run()
+    monkeypatch.setattr(ck, "CM2_TRANSPOSE_FIRST", True)
+    monkeypatch.setattr(pdwmod, "_TIER_W128", True)
+    monkeypatch.setattr(pdwmod, "_SHORT_WINDOW", 256)
+    w4 = run()
+    for name in ref:
+        np.testing.assert_array_equal(ref[name], tl[name],
+                                      err_msg=f"transpose_last {name}")
+        np.testing.assert_array_equal(ref[name], w4[name],
+                                      err_msg=f"4tier {name}")
+
+
 def test_forward_packed_cm2_matches_cm(monkeypatch):
     """The v2 route (cm latch + no-compaction tiers + cumsum saturation)
     emits a bit-identical PdwBatch to the round-3 cm route."""

@@ -9,6 +9,32 @@ from sdr_channelizer_tpu.ops.medians import masked_median
 from sdr_channelizer_tpu.ops.pallas.pulse_stats_kernel import pulse_stats
 
 
+def test_pulse_stats_batched_matches_per_tile():
+    """The batched-descent kernel (batch_tiles > 1, rejected as the r5
+    default on speed but kept as a knob) must stay bit-identical to the
+    per-tile form — group arithmetic is shared, only the loop structure
+    differs."""
+    rng = np.random.default_rng(5)
+    m, t_len, p_slots, window = 4, 4096, 256, 256
+    mag = np.abs(rng.standard_normal((m, t_len))).astype(np.float32)
+    dph = rng.standard_normal((m, t_len)).astype(np.float32)
+    sat = (rng.random((m, t_len)) < 0.01).astype(np.float32)
+    toa = np.full((m, p_slots), t_len, np.int32)
+    te = np.full((m, p_slots), t_len, np.int32)
+    for c in range(m):
+        starts = np.sort(rng.choice(t_len - 600, 150, replace=False))
+        lens = rng.integers(1, 500, 150)
+        toa[c, :150] = starts
+        te[c, :150] = np.minimum(starts + lens, t_len - 1)
+    args = (jnp.asarray(mag), jnp.asarray(dph), jnp.asarray(sat),
+            jnp.asarray(toa), jnp.asarray(te))
+    a = pulse_stats(*args, window=window, interpret=True, batch_tiles=1)
+    b = pulse_stats(*args, window=window, interpret=True, batch_tiles=8)
+    for x, y, nm in zip(a, b, ("mag", "dph", "sat")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=nm)
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_pulse_stats_matches_masked_median(seed):
     rng = np.random.default_rng(seed)
