@@ -500,16 +500,16 @@ def extract_pdws_channelized_streams_cm(
 
 
 # Max DMA-window rows of the ``pulse_stats`` kernel before its scoped VMEM
-# tops out.  Cost model: the merged dual-median radix descent carries ~6
-# (TILE*rows, 128) f32 live arrays (two key sets, two masks, window data,
-# index planes) plus the three stream buffers — ≈ 9 * TILE*rows*128*4 B.
-# At TILE=256 that is ~1.2 MB/row-of-window; rows=9 (window 1024) measured
-# 64 MB-limit-OK on a v5e, rows=33 (window 4096) was rejected at compile
-# with 139 MB of scoped VMEM (tools/tpu_tracker_drive.py, 2026-08-20).
-# v5e-calibrated and conservative: other TPU generations with more VMEM
-# could raise it — retune by bumping this constant and running
-# tests/test_pulse_stats_kernel.py on the target chip.
-_STATS_MAX_WINDOW_ROWS = 9
+# tops out.  Cost model: the merged dual-median radix descent carries ~a
+# dozen (TILE*rows, 128) f32 live arrays (two key sets, two masks, window
+# data, index planes) plus the stream buffers.  Round-5 recalibration at
+# the kernel's 100 MB scoped limit (v5e compile+run probe, 2026-08-21):
+# rows = 13 / 17 / 25 (windows 1536 / 2048 / 3072) all compile and run;
+# rows = 33 (window 4096) was rejected at 139 MB under the old 64 MB
+# setting and stays out of bounds.  Other TPU generations: retune by
+# bumping this constant and running tests/test_pulse_stats_kernel.py on
+# the target chip.
+_STATS_MAX_WINDOW_ROWS = 25
 _stats_fallbacks = 0  # observability: routing decisions away from Pallas
 
 
