@@ -225,6 +225,19 @@ def test_stats_kernel_feasibility_fallback():
             window=4096,
         )
 
+    # Round-5 routing bound (real-chip recalibration at the 100 MB scoped
+    # limit): windows up to 3072 take the kernel path, 4096 still routes
+    # to the XLA fallback with the loud warning.
+    assert pdwmod._stats_window_rows_ok(
+        PdwConfig.channelized(max_pulse_samples=3072))
+    wide = PdwConfig.channelized(max_pulse_samples=4096)
+    assert not pdwmod._stats_window_rows_ok(wide)
+    import warnings as _warnings
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        pdwmod._warn_stats_fallback(wide, "test")
+    assert any("3072 samples" in str(w.message) for w in rec)
+
 
 def test_wideband_blocked_matches_single_shot():
     """Blockwise wideband extraction (latch carried across blocks, Pallas
