@@ -1,14 +1,14 @@
 """Re-measure the int8 packed operating point with an 8-bit-appropriate
 capture, and record detected pulse counts for both widths.
 
-VALIDATE_r04's first int8 timing reused the bench capture whose noise
+The round-4 validate artifact's first int8 timing reused the bench capture whose noise
 floor (1e-3) sits BELOW the int8 LSB (1/128 = 7.8e-3): quantized to 8
 bits most noise samples collapse to 0, the per-channel median floor goes
 degenerate, and the detector saturates on quantization transients — a
 workload artifact that made int8 look 2x slower than int16.  This probe
 uses noise ~2.5 LSB (0.02) so both widths run the same detection regime,
 times BOTH widths on the SAME capture, and records pulse counts so the
-comparison is auditable.  Updates VALIDATE_r04.json in place
+comparison is auditable.  Updates VALIDATE_r05.json in place
 (m64_int8_vs_int16 entry).  Single TPU process only.
 """
 import json
@@ -117,7 +117,7 @@ def main():
         log(f"int{bw}: {count} pulses")
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(repo, "VALIDATE_r04.json")
+    path = os.path.join(repo, "VALIDATE_r05.json")
     d = json.load(open(path))
     d["m64_int8_vs_int16_same_capture"] = {
         "noise_floor": "0.019 (~2.5 int8 LSB; the earlier int8 timing "
@@ -127,7 +127,7 @@ def main():
         **entry,
     }
     json.dump(d, open(path, "w"), indent=1, sort_keys=True)
-    log("updated VALIDATE_r04.json")
+    log("updated VALIDATE_r05.json")
 
 
 if __name__ == "__main__":

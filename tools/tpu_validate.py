@@ -1,6 +1,6 @@
 """Ground-truth validation + timing of the fused pipeline on the real TPU.
 
-Round-4 contents (writes VALIDATE_r04.json):
+Writes VALIDATE_r05.json (round-5 refresh of the round-4 list):
 
 1. Small-scale ground truth through ``extract_fused`` (auto route = the v2
    cm2 tail): recovered pulse count / PW / freq vs the synth spec.
@@ -216,12 +216,12 @@ results["spectrogram_packed"] = {
 }
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-path = os.path.join(repo, "VALIDATE_r04.json")
+path = os.path.join(repo, "VALIDATE_r05.json")
 if os.path.exists(path):  # merge: other tools add entries (tpu_int8_point)
     merged = json.load(open(path))
     merged.update(results)
     results = merged
 with open(path, "w") as f:
     json.dump(results, f, indent=1, sort_keys=True)
-log("wrote VALIDATE_r04.json")
+log("wrote VALIDATE_r05.json")
 log(json.dumps(results, indent=1, sort_keys=True))
