@@ -46,9 +46,19 @@ def find_max_unsaturated_gain(
     ``counters`` (optional) accumulates dwell/saturation counts — the
     structured form of ``blade_find_max_unsaturated_gain.cpp:270``'s prints.
     """
+    from sdr_channelizer_tpu.capture.hardware import DwellError
+
     history: List[Tuple[float, bool]] = []
     for _ in range(num_dwells):
-        iq, _ = radio.receive(dwell_samples)
+        try:
+            iq, _ = radio.receive(dwell_samples)
+        except DwellError as e:
+            # drop-don't-corrupt: count the errored dwell, keep the gain,
+            # keep looping (the reference loops log and continue).
+            if counters is not None:
+                counters.add("dwells")
+                counters.add(f"dwell_errors_{e.code}")
+            continue
         sat = dwell_is_saturated(iq, cfg, full_scale=1.0)
         history.append((radio.gain_db, sat))
         if counters is not None:

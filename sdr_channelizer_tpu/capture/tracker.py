@@ -38,6 +38,7 @@ from sdr_channelizer_tpu.config import EventConfig, PdwConfig
 from sdr_channelizer_tpu.dsp import events as eventsmod
 from sdr_channelizer_tpu.dsp import pdw as pdwmod
 from sdr_channelizer_tpu.utils.metrics import Counters
+from sdr_channelizer_tpu.capture.hardware import DwellError
 
 
 @dataclasses.dataclass
@@ -141,7 +142,21 @@ class EventTracker:
         start = None
         if self.next_event_time is not None:
             start = self.next_event_time - self.dwell_sec / 2  # :229-241
-        iq, t0 = self.radio.receive(dwell_n, start_time=start)
+        try:
+            iq, t0 = self.radio.receive(dwell_n, start_time=start)
+        except DwellError as e:
+            # The reference loop logs the error code, counts overruns, and
+            # keeps looping — only whole dwells are processed
+            # (usrp_predict_event.cpp / usrp_record_iq_12bit.cpp:201-227,
+            # drop-don't-corrupt).  Skip this dwell, keep the schedule.
+            self.counters.add("dwells")
+            self.counters.add(f"dwell_errors_{e.code}")
+            return DwellReport(
+                start_time=start if start is not None else float("nan"),
+                num_pulses=0, saturated=False,
+                gain_db=float(self.radio.gain_db),
+                event_time=None, next_event_time=self.next_event_time,
+            )
 
         if isinstance(iq, tuple):
             # Device-resident planes (DeviceDwellEmitter): no host copy at

@@ -79,9 +79,18 @@ def cmd_record(args) -> int:
         noise_db=args.noise_db, gain_db=cfg.rx_gain_db,
         bit_width=cfg.bit_width, start_epoch=time.time(),
     )
+    from sdr_channelizer_tpu.capture.hardware import DwellError
+
     n_dwells = int(cfg.duration_sec / cfg.dwell_sec)
     for _ in range(n_dwells):
-        iq, t0 = radio.receive(cfg.dwell_samples + cfg.filter_delay_samples)
+        try:
+            iq, t0 = radio.receive(cfg.dwell_samples + cfg.filter_delay_samples)
+        except DwellError as e:
+            # drop-don't-corrupt (usrp_record_iq_12bit.cpp:201-227): log,
+            # count, keep looping; only whole dwells are written.
+            print(f"dwell dropped: {e}", file=sys.stderr)
+            radio.counters.add(f"dwell_errors_{e.code}")
+            continue
         iq = iq[cfg.filter_delay_samples:]
         t0 += cfg.filter_delay_samples / cfg.sample_rate_sps
         samples = iqpacket.from_complex(iq, cfg.bit_width)

@@ -70,13 +70,13 @@ _STATS_DB = False       # double-buffered stats-kernel window DMAs
 # 512 on the cm2 route (PROBE_r04 part H; 1024 is +0.5, and the barrier
 # is now neutral but kept — it was -0.6 on the v1 shapes).
 _RANK_BLOCK = 256
-# Stats-kernel descent batching (0 = the kernel's STATS_BATCH_TILES
-# default, 1 = per-tile descents).  Round-5 A/B (PROBE_r05 A): batching
-# LOST end-to-end (+0.45 ms dense, +0.17 sparse at nt=8) — the descent is
-# THROUGHPUT-bound on the (g, LANES) masked counting passes, not
-# latency-bound as the round-4 part-J reading suggested, so stacking
-# tiles buys nothing and pays scratch-locality overhead.  Default stays
-# per-tile; the batched kernel remains for the knob/record.
+# Stats-kernel descent batching (0/1 = per-tile descents, the shipped
+# default; >1 opts into the batched kernel).  Round-5 A/B (PROBE_r05 A):
+# batching LOST end-to-end (+0.45 ms dense, +0.17 sparse at nt=8) — the
+# descent is THROUGHPUT-bound on the (g, LANES) masked counting passes,
+# not latency-bound as the round-4 part-J reading suggested, so stacking
+# tiles buys nothing and pays scratch-locality overhead.  The batched
+# kernel remains behind this knob for the record/other chips.
 _STATS_BATCH = 1
 # Extra sub-tier at window=128 below _SHORT_WINDOW (only active when
 # _SHORT_WINDOW > 128): the intermediate 4-tier form measured +0.18 ms
@@ -836,13 +836,15 @@ def noise_floor_cm(mag_cm: jax.Array, m: int, t_len: int,
     (``ops/pallas/nf_kernel.py``: ONE read of the stream instead of one
     per radix level) when the shape allows; otherwise the ``bits``-per-pass
     XLA value-space descent.  Both pick identical order statistics."""
-    r8 = ((m + 7) // 8) * 8
-    if (_NF_KERNEL and medians.use_sort_free() and t_len < (1 << 24)
-            and mag_cm.shape[0] >= r8):
-        from sdr_channelizer_tpu.ops.pallas.nf_kernel import (
-            pallas_noise_floor_cm,
-        )
+    from sdr_channelizer_tpu.ops.pallas.nf_kernel import (
+        nf_kernel_feasible,
+        pallas_noise_floor_cm,
+    )
 
+    r8 = ((m + 7) // 8) * 8
+    if (_NF_KERNEL and medians.use_sort_free()
+            and nf_kernel_feasible(mag_cm.shape[1])
+            and mag_cm.shape[0] >= r8):
         return pallas_noise_floor_cm(mag_cm[:r8], t_len=t_len)[:m]
     rows = mag_cm[:m]
     if mag_cm.shape[1] == t_len:

@@ -360,7 +360,9 @@ class StreamingExtractor:
     # still exact, just d2h-heavy.  2 GB holds ~128 s of 56 Msps capture.
     _NF_RESIDENT_CAP_BYTES = 2 << 30
 
-    def _noise_floor_device(self, make_mag_blocks_dev) -> Optional[np.ndarray]:
+    def _noise_floor_device(self, make_mag_blocks_dev,
+                            est_bytes: Optional[int] = None
+                            ) -> Optional[np.ndarray]:
         """Exact per-channel median with ON-DEVICE count reductions.
 
         The host-histogram form (:meth:`_noise_floor_from_mag_blocks`)
@@ -374,8 +376,14 @@ class StreamingExtractor:
         tests/test_streaming.py.
 
         Returns None when the stream exceeds the device-residency budget
-        (the caller falls back to the host-histogram path).
+        (the caller falls back to the host-histogram path).  Pass
+        ``est_bytes`` (total f32 magnitude bytes, computable from the
+        segment shape) so over-budget streams decline BEFORE any device
+        work — without it an over-cap stream would channelize up to the
+        cap and then be re-channelized by the fallback.
         """
+        if est_bytes is not None and est_bytes > self._NF_RESIDENT_CAP_BYTES:
+            return None
         mags = []
         total_bytes = 0
         for b in make_mag_blocks_dev():
@@ -740,7 +748,8 @@ class StreamingExtractor:
                 # Counts-only device reduction (falls back to the host
                 # histogram past the residency cap, or on CPU backends
                 # where the host path is the fast one).
-                nf_arr = (self._noise_floor_device(dev_mag_blocks)
+                nf_arr = (self._noise_floor_device(
+                              dev_mag_blocks, est_bytes=n_frames * m * 4)
                           if medians.use_sort_free() else None)
                 if nf_arr is None:
                     nf_arr = self._noise_floor_from_mag_blocks(mag_blocks)

@@ -99,14 +99,15 @@ def _flip_tile(a, eye):
 CM2_BLOCK_FRAMES = 4096
 
 
-def _tf_wins(m: int, m_pad: int) -> bool:
+def _tf_wins(n_bands: int, m_pad: int) -> bool:
     """Shape heuristic for the transpose-first form: it halves the
-    elementwise stream math only when the real channel rows are a small
-    fraction of the lane pad, and costs an extra 128 look-ahead rows of
-    FIR/DFT either way.  Measured crossover on v5e (PROBE_r05 A vs
-    M560_r05 knobs): M=64/m_pad=128 (ratio 0.5) wins -0.36 ms; M=560/
-    m_pad=640 (ratio 0.875) loses +0.28 ms."""
-    return (((m + 7) // 8) * 8) * 5 <= m_pad * 3
+    elementwise stream math only when the EMITTED rows (the shard's band
+    slice under channel sharding) are a small fraction of the lane pad,
+    and costs an extra 128 look-ahead rows of FIR/DFT either way.
+    Measured crossover on v5e (PROBE_r05 A vs M560_r05 knobs):
+    M=64/m_pad=128 (ratio 0.5) wins -0.36 ms; M=560/m_pad=640 (ratio
+    0.875) loses +0.28 ms."""
+    return (((n_bands + 7) // 8) * 8) * 5 <= m_pad * 3
 
 
 def _default_cm2_block(n_frames: int, m_pad: int) -> int:
@@ -775,8 +776,12 @@ def pallas_channelize_streams_packed_cm2(
     m_pad = _lane_pad(m)
     if block_frames is None:
         block_frames = _default_cm2_block(n_frames, m_pad)
+    # The heuristic compares the EMITTED rows (n_bands — a band-sharded
+    # shard emits only its slice) against the lane pad, not the full
+    # channel count.
+    n_bands = m if w_parts is None else w_parts[0].shape[1]
     if transpose_first is None:
-        transpose_first = CM2_TRANSPOSE_FIRST and _tf_wins(m, m_pad)
+        transpose_first = CM2_TRANSPOSE_FIRST and _tf_wins(n_bands, m_pad)
 
     fr = xq[..., : n_frames * m].reshape(n_frames, m)
     n_pad = (-n_frames) % block_frames
@@ -790,12 +795,10 @@ def pallas_channelize_streams_packed_cm2(
         fr = jnp.pad(fr, ((p - 1, tail), (0, m_pad - m)))
 
     if w_parts is not None:
-        n_bands = w_parts[0].shape[1]
         taps_p, wr_p, wi_p = _pad_weight_slice(taps_rev, *w_parts, m_pad)
     else:
         from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
 
-        n_bands = m
         w = dft_matrix(m, shifted=shift)
         taps_p, wr_p, wi_p = _pad_weights(taps_rev, w, m_pad)
     return _pallas_fir_dft_streams_cm2(
@@ -829,8 +832,9 @@ def pallas_channelize_streams_cm2(
     m_pad = _lane_pad(m)
     if block_frames is None:
         block_frames = _default_cm2_block(n_frames, m_pad)
+    n_bands = m if w_parts is None else w_parts[0].shape[1]
     if transpose_first is None:
-        transpose_first = CM2_TRANSPOSE_FIRST and _tf_wins(m, m_pad)
+        transpose_first = CM2_TRANSPOSE_FIRST and _tf_wins(n_bands, m_pad)
 
     extra = 128 if transpose_first else 8
 
@@ -845,12 +849,10 @@ def pallas_channelize_streams_cm2(
         return jnp.pad(fr, ((p - 1, tail), (0, m_pad - m)))
 
     if w_parts is not None:
-        n_bands = w_parts[0].shape[1]
         taps_p, wr_p, wi_p = _pad_weight_slice(taps_rev, *w_parts, m_pad)
     else:
         from sdr_channelizer_tpu.dsp.channelizer import dft_matrix
 
-        n_bands = m
         w = dft_matrix(m, shifted=shift)
         taps_p, wr_p, wi_p = _pad_weights(taps_rev, w, m_pad)
     hr, hi = history if history is not None else (None, None)

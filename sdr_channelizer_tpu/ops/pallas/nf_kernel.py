@@ -28,17 +28,30 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from sdr_channelizer_tpu.ops.pallas.pulse_stats_kernel import (
+    _f32_from_keys,
+    _keys_from_f32,
+)
+
+# The descent holds ~5 (8, T_pad) f32/u32 arrays live (magnitude, keys,
+# the per-cut compare, the min-above candidate, the validity mask) ≈
+# 160 B per column under the kernel's 100 MB scoped-VMEM limit.  Gate the
+# routing well under that so longer (still < 2^24) captures fall back to
+# the XLA descent instead of failing the whole program's compile.
+NF_KERNEL_MAX_T = 400_000
+
+
+def nf_kernel_feasible(t_pad: int) -> bool:
+    return t_pad <= NF_KERNEL_MAX_T
 
 
 def _nf_kernel(mag_ref, out_ref, *, t_len: int, bits: int):
     mag = mag_ref[...]  # (8, T_pad)
     t_pad = mag.shape[1]
-    u = pltpu.bitcast(mag, jnp.uint32)
-    neg = (u >> 31) == 1
-    keys = jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
+    keys = _keys_from_f32(mag)
     if t_pad != t_len or t_pad % 128:
         # mask both the caller's pad columns and any Mosaic lane padding
         lane = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1)
@@ -67,9 +80,7 @@ def _nf_kernel(mag_ref, out_ref, *, t_len: int, bits: int):
         prefix = prefix | (nib_u << shift)
 
     # lo value from the selected key; hi via the finish trick.
-    neg_lo = (prefix >> 31) == 0
-    raw = jnp.where(neg_lo, ~prefix, prefix & jnp.uint32(0x7FFFFFFF))
-    lo = pltpu.bitcast(raw, jnp.float32)  # (8, 1)
+    lo = _f32_from_keys(prefix)  # (8, 1)
     cnt_le = count_le(prefix)
     big = jnp.float32(3.0e38)
     above = keys > prefix
@@ -96,7 +107,7 @@ def pallas_noise_floor_cm(
     yield median 0, unused)."""
     interpret = interpret or jax.devices()[0].platform == "cpu"
     r, t_pad = mag_cm.shape
-    assert r % 8 == 0 and t_len <= t_pad and t_len < (1 << 24)
+    assert r % 8 == 0 and t_len <= t_pad and nf_kernel_feasible(t_pad)
     kernel = functools.partial(_nf_kernel, t_len=t_len, bits=bits)
     out = pl.pallas_call(
         kernel,

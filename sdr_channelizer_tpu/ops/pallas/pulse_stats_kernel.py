@@ -640,10 +640,14 @@ def _pulse_stats_flat(
     extra zero-padded columns beyond it (e.g. from the channel-major
     transpose kernel's block grid) — masks and sentinels use ``t_len``.
     ``batch_tiles``: live tiles whose descents run as one batched group
-    reduction (0 = the ``STATS_BATCH_TILES`` default, 1 = the per-tile
-    kernel; >1 requires ``gate_slots``/``double_buffer`` off)."""
+    reduction (0 or 1 = the shipped per-tile kernel; >1 opts into the
+    batched kernel — measured slower on v5e, kept for other chips —
+    and requires ``gate_slots``/``double_buffer`` off)."""
     if batch_tiles == 0:
-        batch_tiles = STATS_BATCH_TILES
+        # Per-tile descents are the shipped default: batching (see
+        # STATS_BATCH_TILES) measured +0.45 ms dense end-to-end
+        # (PROBE_r05 A) — opt in explicitly to use it.
+        batch_tiles = 1
     if gate_slots or double_buffer:
         batch_tiles = 1
     rows = (window + LANES - 1) // LANES + 1

@@ -190,6 +190,45 @@ def test_device_dwell_emitter_matches_radio_physics():
     assert len(tr.events) > 0  # dwells spanning the beam peak fit events
 
 
+def test_tracker_drops_errored_dwells():
+    """A DwellError from the radio (UHD timeout/overflow classes) must not
+    kill the loop: the reference logs, counts, and keeps looping
+    (usrp_predict_event.cpp / usrp_record_iq_12bit.cpp:201-227)."""
+    from sdr_channelizer_tpu.capture.hardware import DwellError
+
+    inner = EmulatedRadio(sample_rate_sps=1e6, tone_offset_hz=0.13e6,
+                          pulse_width_sec=10e-6, pri_sec=5e-3, gain_db=60.0,
+                          rel_amplitude=0.9, noise_db=-55.0)
+
+    class Flaky:
+        sample_rate_sps = inner.sample_rate_sps
+
+        def __init__(self):
+            self.calls = 0
+
+        @property
+        def gain_db(self):
+            return inner.gain_db
+
+        @gain_db.setter
+        def gain_db(self, v):
+            inner.gain_db = v
+
+        def receive(self, n, start_time=None):
+            self.calls += 1
+            if self.calls == 2:
+                raise DwellError("timeout", "ERROR_CODE_TIMEOUT: 0/%d" % n)
+            return inner.receive(n, start_time=start_time)
+
+    tr = EventTracker(radio=Flaky(), dwell_sec=0.02)
+    reports = tr.run(4)
+    assert len(reports) == 4  # the loop survived the errored dwell
+    assert reports[1].num_pulses == 0
+    c = tr.counters.snapshot()["counters"]
+    assert c["dwell_errors_timeout"] == 1
+    assert c["dwells"] == 4
+
+
 def test_device_dwell_emitter_stress_scenes():
     """The round-5 tracker stress scenes (tools/tpu_tracker_drive.py):
     a second emitter at a distinct PRI interleaves with the scanned one,

@@ -77,19 +77,49 @@ def timed(q, k):
 
 results = {}
 for name, q in payloads.items():
-    sync_device(run(3, q)[0])  # compile + warm
-    t_floor = timed(q, 4)
-    # Geometric pilot out of the flat region (bench.py protocol).
-    pk, t_pilot = 16, timed(q, 16)
+    # Same-session bench-protocol estimate FIRST (its internal dispatches
+    # — warm 3, floor 4, doubling pilots from 30, K1, K1+span — are all
+    # first-use then).  Every later sweep dispatch must avoid repeating
+    # any of those Ks: a repeated (program, args, K) dispatch elides to
+    # ~0 on this transport (CLAUDE.md) — the exact trap the sweep exists
+    # to demonstrate.
+    bench_dt, bench_ests, _ = _graph_time(
+        lambda K, qq: run(K, qq), (q,), iters=120, reps=2)
+
+    used = {3, 4}
+    pk = 30
+    while pk < 4000:  # _graph_time's doubling-pilot K sequence
+        used.add(pk)
+        pk *= 2
+    t_floor = timed(q, 6)
+    used.add(6)
+    # Geometric pilot out of the flat region (offset from bench's Ks).
+    pk, t_pilot = 17, timed(q, 17)
+    used.add(17)
     while t_pilot < 1.6 * t_floor and pk < 4000:
         pk *= 2
         t_pilot = timed(q, pk)
+        used.add(pk)
     s_est = t_pilot / pk
     k_min = max(8, int(2.5 * t_floor / s_est) + 1)
     k_max = min(int(8.0 / s_est), 4000)  # ~8 s device-time dispatch cap
-    ks_fit = sorted({int(k) for k in np.linspace(k_min, max(k_min + 8, k_max),
-                                                 10)})
-    ks_flat = sorted({4, 8, max(4, k_min // 4)})
+    # Ban neighborhoods around the bench protocol's (estimated) K1 and
+    # K1+span dispatches — its floor/pilot jitter shifts them a few Ks.
+    bench_k1 = max(8, int(2.5 * t_floor / (bench_dt if bench_dt > 0
+                                           else s_est)) + 1)
+    bench_span = max(120, int(1.2 / max(bench_dt, 1e-9)) + 1)
+    for center in (bench_k1, bench_k1 + bench_span):
+        used.update(range(max(3, center - 12), center + 14))
+
+    def fresh(k):
+        while k in used:
+            k += 1
+        used.add(k)
+        return k
+
+    ks_fit = [fresh(int(k))
+              for k in np.linspace(k_min, max(k_min + 18, k_max), 10)]
+    ks_flat = [fresh(k) for k in (5, 9, max(5, k_min // 4))]
     log(f"{name}: floor {t_floor*1e3:.0f} ms, pilot {s_est*1e3:.2f} ms/step, "
         f"fit Ks {ks_fit} (flat Ks {ks_flat})")
 
@@ -101,12 +131,19 @@ for name, q in payloads.items():
             + ("" if K in ks_fit else "  [flat, excluded]"))
     karr = np.array([r[0] for r in rows_fit], float)
     warr = np.array([r[1] for r in rows_fit], float)
-    slope, intercept = np.polyfit(karr, warr, 1)
+    # Theil-Sen (median of pairwise slopes): robust to the occasional
+    # seconds-scale transport spike / elided dispatch that a least-squares
+    # line has no defense against (one such point skewed a dense fit by
+    # -25% during round-5 probing).  Residuals and any rejected outliers
+    # are reported alongside.
+    pair_slopes = [(warr[j] - warr[i]) / (karr[j] - karr[i])
+                   for i in range(len(karr)) for j in range(i + 1, len(karr))]
+    slope = float(np.median(pair_slopes))
+    intercept = float(np.median(warr - slope * karr))
     resid = warr - (slope * karr + intercept)
-
-    # Same-session bench-protocol estimate on the same payload/program.
-    bench_dt, bench_ests, _ = _graph_time(
-        lambda K, qq: run(K, qq), (q,), iters=120, reps=2)
+    outliers = [[int(k), round(w * 1e3, 1)]
+                for k, w, rr in zip(karr, warr, resid)
+                if abs(rr) > 0.25]  # > 250 ms off the robust line
     gap_pct = (bench_dt - slope) / slope * 100.0
 
     results[name] = {
@@ -118,6 +155,8 @@ for name, q in payloads.items():
         "points_fit": [[int(k), round(w * 1e3, 1)] for k, w in rows_fit],
         "points_flat_excluded": [[int(k), round(w * 1e3, 1)]
                                  for k, w in rows_flat],
+        "outlier_points": outliers,
+        "fit": "theil-sen (median of pairwise slopes)",
         "bench_protocol_ms": round(bench_dt * 1e3, 3),
         "bench_reps_ms": [round(e * 1e3, 3) for e in bench_ests],
         "sweep_vs_bench_gap_pct": round(gap_pct, 2),
