@@ -67,18 +67,16 @@ LANES = 128
 # shorter than a tile are padded by the wrappers.
 TILE = 128
 
-# Live tiles whose radix descents run BATCHED as one (n*TILE)-pulse group
-# reduction (round 5).  The per-tile descent is latency-bound — a serial
-# 32-round chain of small vector ops (round-4 part J: double-buffered
-# window DMAs bought nothing because the descent, not the DMA, dominates) —
-# so the dense worst case (every slot tile live) paid ~n_tiles serial
-# descents.  Batching stacks n live tiles' windows in one scratch and runs
-# ONE descent over (n*TILE*rows, LANES): per-group arithmetic is untouched
-# (groups never span tiles), so outputs stay bit-identical while the
-# serial-round count drops n-fold.  Dead slots in a ragged final batch
-# point at an appended all-sentinel tile (masks all-false) instead of
-# branching.  8 balances descent batching against scoped-VMEM growth
-# (the descent carries ~6 (n*TILE*rows, 128) f32 live arrays).
+# Reference batch width for the OPT-IN batched descent kernel
+# (``batch_tiles=STATS_BATCH_TILES``): live tiles' windows stack in one
+# scratch and ONE descent over (n*TILE*rows, LANES) serves all of them,
+# bit-identically (groups never span tiles; dead slots in a ragged final
+# batch point at an appended all-sentinel tile).  Built on the round-4
+# hypothesis that the per-tile descent was latency-bound; the round-5
+# full-graph A/B REFUTED that (+0.45 ms dense at n=8, PROBE_r05 A — the
+# descent is throughput-bound on its masked counting passes), so the
+# shipped default is the per-tile kernel and this stays as the measured
+# reference point for other chip generations.
 STATS_BATCH_TILES = 8
 
 _DOT = functools.partial(
